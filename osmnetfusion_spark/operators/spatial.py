@@ -1,0 +1,375 @@
+"""Cell-local spatial join operators.
+
+The reference's spatial predicates are shapely STRtree probes and
+``sjoin_nearest`` calls with metre caps (``p2_enrichData.py:140, 453, 541,
+590``; ``p3_functions.py:406``). None of that distributes. Here every
+spatial join is the same two-phase plan:
+
+1. **candidate generation** -- both sides keyed by grid cells
+   (:mod:`..h3idx`); the *small* (build) side is exploded to its cover cells
+   dilated by ring-1, the *large* (probe) side contributes only its own
+   cell; a plain equi-join on ``cell`` produces candidate pairs. The
+   explosion is pure column arithmetic (sequence/transform/flatten), so the
+   whole candidate stage is JVM-side whole-stage codegen and Catalyst/AQE
+   handle the join strategy (broadcast for small builds, skew-split for hot
+   cells).
+2. **exact refinement** -- closed-form point-to-segment distance as column
+   math (kNN), or a vectorized numpy kernel in a pandas UDF (ray-casting
+   PIP, segment-clip intersection length) where no closed form exists.
+
+Ring-1 dilation is complete because :func:`..h3idx.pick_res` chooses the
+finest resolution whose cell short side still exceeds the join radius.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import h3idx
+from ..functions import geo
+
+_NEIGHBOR_OFFS = [dj * h3idx.SHIFT_J + di for dj in (-1, 0, 1) for di in (-1, 0, 1)]
+
+
+# ----------------------------------------------------------- cover / explode
+
+
+def explode_segments(edges: DataFrame, geom: str = "geometry") -> DataFrame:
+    """One row per consecutive coord pair of ``geom`` ([[lon,lat],...]).
+
+    Adds ``seg_idx, ax, ay, bx, by`` (x=lon, y=lat). Pure SQL higher-order
+    functions -- no UDF, no shuffle.
+    """
+    segs = F.filter(
+        F.transform(
+            F.col(geom),
+            lambda c, i: F.struct(
+                i.alias("seg_idx"),
+                c[0].alias("ax"),
+                c[1].alias("ay"),
+                F.try_element_at(F.col(geom), i + 2)[0].alias("bx"),
+                F.try_element_at(F.col(geom), i + 2)[1].alias("by"),
+            ),
+        ),
+        lambda s, : s["seg_idx"] < F.size(F.col(geom)) - 1,
+    )
+    return edges.withColumn("_seg", F.explode(segs)).select("*", "_seg.*").drop("_seg")
+
+
+def cover_segment_cells(
+    ax: Column, ay: Column, bx: Column, by: Column, res: int, dilate_k: int = 0
+) -> Column:
+    """Cells crossed by a segment (optionally ring-k dilated), column-only.
+
+    Half-cell-step supercover sampling, identical to
+    :func:`..h3idx.cover_segment_np`.
+    """
+    half = h3idx.size_deg(res) * 0.5
+    steps = F.greatest(
+        F.ceil(F.greatest(F.abs(bx - ax), F.abs(by - ay)) / F.lit(half)).cast("int"),
+        F.lit(1),
+    )
+    frac = lambda s: s.cast("double") / steps.cast("double")  # noqa: E731
+    cells = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), steps),
+            lambda s: h3idx.cell_col(ay + (by - ay) * frac(s), ax + (bx - ax) * frac(s), res),
+        )
+    )
+    return dilate_cells(cells, dilate_k) if dilate_k else cells
+
+
+def dilate_cells(cells: Column, k: int = 1) -> Column:
+    """Ring-k dilation of an array<long> of cell ids, column-only."""
+    offs = [
+        dj * h3idx.SHIFT_J + di
+        for dj in range(-k, k + 1)
+        for di in range(-k, k + 1)
+    ]
+    return F.array_distinct(
+        F.flatten(F.transform(cells, lambda c: F.array(*[c + F.lit(o) for o in offs])))
+    )
+
+
+def cover_bbox_cells(
+    min_lat: Column, min_lon: Column, max_lat: Column, max_lon: Column, res: int
+) -> Column:
+    """All cells overlapping a bbox, column-only (polygon build side)."""
+    inv = float(1 << res)
+    i0 = F.floor((min_lon + 180.0) * inv).cast("long")
+    i1 = F.floor((max_lon + 180.0) * inv).cast("long")
+    j0 = F.floor((min_lat + 90.0) * inv).cast("long")
+    j1 = F.floor((max_lat + 90.0) * inv).cast("long")
+    base = F.lit(res * h3idx.SHIFT_RES)
+    return F.flatten(
+        F.transform(
+            F.sequence(j0, j1),
+            lambda j: F.transform(F.sequence(i0, i1), lambda i: base + j * F.lit(h3idx.SHIFT_J) + i),
+        )
+    )
+
+
+# ------------------------------------------------------------------ kNN join
+
+
+def knn_join_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    radius_m: float,
+    k: int = 1,
+    point_id: str = "point_id",
+    seg_id: str = "edge_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """kNN (<= radius_m) join of points to polyline *segments*.
+
+    ``segments`` must carry ``ax, ay, bx, by`` (from
+    :func:`explode_segments`). Returns one row per (point, matched entity)
+    with ``dist_m`` and ``knn_rank`` (1 = nearest). Deterministic ties:
+    ``(dist_m, seg_id)``.
+
+    Replaces the reference's ``sjoin_nearest(max_distance=...)`` snaps
+    (signals->nodes 20 m ``p2_enrichData.py:453``, amenities->edges 200 m
+    ``:541``, PT stops->edges 30 m ``:590``) and the graft's pages->edges
+    snap. Plan shape: build-side cover explode (dilated ring-1) -> equi-join
+    on cell -> closed-form distance -> per-entity min -> per-point top-k
+    window. The probe side is never exploded, so the shuffle volume is
+    O(|points| + |segments| * cover_cells).
+    """
+    res = h3idx.pick_res(radius_m)
+    build = segments.withColumn(
+        "cell",
+        F.explode(
+            cover_segment_cells(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"), res, dilate_k=1)
+        ),
+    )
+    probe = points.withColumn("cell", h3idx.cell_col(F.col(lat), F.col(lon), res))
+
+    cand = probe.join(build, "cell").withColumn(
+        "seg_dist_m",
+        geo.point_segment_dist_m(
+            F.col(lat), F.col(lon), F.col("ay"), F.col("ax"), F.col("by"), F.col("bx")
+        ),
+    )
+    cand = cand.filter(F.col("seg_dist_m") <= F.lit(float(radius_m)))
+    # per (point, entity): min over that entity's segments (and dup cells)
+    per_entity = cand.groupBy(point_id, seg_id).agg(
+        F.min("seg_dist_m").alias("dist_m")
+    )
+    w = Window.partitionBy(point_id).orderBy(F.col("dist_m").asc(), F.col(seg_id).asc())
+    ranked = per_entity.withColumn("knn_rank", F.row_number().over(w))
+    return ranked.filter(F.col("knn_rank") <= k)
+
+
+def knn_join_points(
+    probe: DataFrame,
+    build: DataFrame,
+    radius_m: float,
+    k: int = 1,
+    probe_id: str = "probe_id",
+    build_id: str = "build_id",
+    probe_lat: str = "lat",
+    probe_lon: str = "lon",
+    build_lat: str = "lat",
+    build_lon: str = "lon",
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """kNN (<= radius_m) point-to-point join (signals -> nearest node)."""
+    res = h3idx.pick_res(radius_m)
+    b = build.select(
+        F.col(build_id).alias("__bid"),
+        F.col(build_lat).alias("__blat"),
+        F.col(build_lon).alias("__blon"),
+    ).withColumn(
+        "cell",
+        F.explode(
+            dilate_cells(F.array(h3idx.cell_col(F.col("__blat"), F.col("__blon"), res)), 1)
+        ),
+    )
+    p = probe.withColumn("cell", h3idx.cell_col(F.col(probe_lat), F.col(probe_lon), res))
+    cand = p.join(b, "cell").withColumn(
+        "dist_m",
+        geo.haversine_m(F.col(probe_lat), F.col(probe_lon), F.col("__blat"), F.col("__blon")),
+    )
+    cand = cand.filter(F.col("dist_m") <= F.lit(float(radius_m)))
+    if exclude_same_id:
+        cand = cand.filter(F.col(probe_id) != F.col("__bid"))
+    w = Window.partitionBy(probe_id).orderBy(F.col("dist_m").asc(), F.col("__bid").asc())
+    out = cand.withColumn("knn_rank", F.row_number().over(w)).filter(F.col("knn_rank") <= k)
+    return out.withColumnRenamed("__bid", build_id).drop("__blat", "__blon", "cell")
+
+
+# -------------------------------------------------------- point-in-polygon
+
+
+def _pip_batch(pdf: pd.DataFrame) -> pd.Series:
+    """Groupwise-vectorized ray-casting over a candidate batch."""
+    out = np.zeros(len(pdf), dtype=bool)
+    for _, idx in pdf.groupby("__poly_key").groups.items():
+        sub = pdf.loc[idx]
+        poly = np.asarray(sub["__poly"].iloc[0], dtype=np.float64)
+        out[pdf.index.get_indexer(idx)] = geo.point_in_polygon_np(
+            sub["__px"].to_numpy(), sub["__py"].to_numpy(), poly
+        )
+    return pd.Series(out, index=pdf.index)
+
+
+def pip_join(
+    points: DataFrame,
+    polys: DataFrame,
+    point_id: str = "point_id",
+    poly_id: str = "poly_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    geom: str = "geometry",
+    res: int | None = None,
+) -> DataFrame:
+    """Point-in-polygon join: (point_id, poly_id) for every containment.
+
+    Build side = polygons, exploded to bbox cover cells; refinement =
+    ray-casting in an Arrow-batched pandas UDF (vectorized per polygon
+    inside each batch). Replaces the reference's ``point.within(polygon)``
+    loop (``p2_enrichData.py:106-116``).
+    """
+    if res is None:
+        res = 12  # ~27 m cells; polygons are O(100 m)
+    b = (
+        polys.select(
+            F.col(poly_id),
+            F.col(geom).alias("__poly"),
+            F.aggregate(F.col(geom), F.lit(1e9), lambda acc, c: F.least(acc, c[1])).alias("__mnlat"),
+            F.aggregate(F.col(geom), F.lit(-1e9), lambda acc, c: F.greatest(acc, c[1])).alias("__mxlat"),
+            F.aggregate(F.col(geom), F.lit(1e9), lambda acc, c: F.least(acc, c[0])).alias("__mnlon"),
+            F.aggregate(F.col(geom), F.lit(-1e9), lambda acc, c: F.greatest(acc, c[0])).alias("__mxlon"),
+        )
+        .withColumn(
+            "cell",
+            F.explode(
+                cover_bbox_cells(
+                    F.col("__mnlat"), F.col("__mnlon"), F.col("__mxlat"), F.col("__mxlon"), res
+                )
+            ),
+        )
+        .drop("__mnlat", "__mxlat", "__mnlon", "__mxlon")
+    )
+    p = points.withColumn("cell", h3idx.cell_col(F.col(lat), F.col(lon), res))
+    cand = p.join(b, "cell").select(
+        F.col(point_id),
+        F.col(poly_id),
+        F.col(lat).alias("__py"),
+        F.col(lon).alias("__px"),
+        F.col("__poly"),
+        F.col(poly_id).alias("__poly_key"),
+    )
+
+    def refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf):
+                pdf = pdf[_pip_batch(pdf).to_numpy()]
+            yield pdf[[point_id, poly_id]]
+
+    out_schema = f"{point_id} long, {poly_id} long"
+    return cand.mapInPandas(refine, schema=out_schema).dropDuplicates([point_id, poly_id])
+
+
+# ------------------------------------------- segment x polygon intersection
+
+
+def _clip_len_batch(pdf: pd.DataFrame) -> np.ndarray:
+    """Length (m) of each segment's intersection with its candidate polygon.
+
+    Crossing-parameter method: collect all t in [0,1] where the segment
+    crosses a polygon edge, sort, then sum sub-intervals whose midpoint is
+    inside (ray cast). Exact for simple polygons, vectorized over the
+    polygon's edges per candidate row.
+    """
+    out = np.zeros(len(pdf), dtype=np.float64)
+    ax = pdf["ax"].to_numpy(); ay = pdf["ay"].to_numpy()
+    bx = pdf["bx"].to_numpy(); by = pdf["by"].to_numpy()
+    for r in range(len(pdf)):
+        poly = np.asarray(pdf["__poly"].iloc[r], dtype=np.float64)
+        if len(poly) >= 2 and (poly[0] == poly[-1]).all():
+            poly = poly[:-1]
+        px0, py0 = poly[:, 0], poly[:, 1]
+        px1, py1 = np.roll(px0, -1), np.roll(py0, -1)
+        dx, dy = bx[r] - ax[r], by[r] - ay[r]
+        ex, ey = px1 - px0, py1 - py0
+        den = dx * ey - dy * ex
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = ((px0 - ax[r]) * ey - (py0 - ay[r]) * ex) / np.where(den == 0, np.nan, den)
+            s = ((px0 - ax[r]) * dy - (py0 - ay[r]) * dx) / np.where(den == 0, np.nan, den)
+        ts = t[(t >= 0) & (t <= 1) & (s >= 0) & (s <= 1)]
+        ts = np.unique(np.concatenate([[0.0, 1.0], ts[np.isfinite(ts)]]))
+        mids_t = (ts[:-1] + ts[1:]) / 2.0
+        mx = ax[r] + dx * mids_t
+        my = ay[r] + dy * mids_t
+        inside = geo.point_in_polygon_np(mx, my, poly)
+        frac = float(np.sum((ts[1:] - ts[:-1])[inside]))
+        out[r] = frac * geo.haversine_np(ay[r], ax[r], by[r], bx[r])
+    return out
+
+
+def intersection_length_join(
+    segments: DataFrame,
+    polys: DataFrame,
+    seg_id: str = "edge_id",
+    poly_id: str = "poly_id",
+    geom: str = "geometry",
+    res: int = 12,
+) -> DataFrame:
+    """Per (segment-entity, polygon): intersection length in metres.
+
+    Replaces the reference's STRtree ``intersects`` + shapely
+    ``intersection().length`` accumulation (``p2_enrichData.py:119-144``).
+    Output: ``(seg_id, poly_id, isect_len_m)`` summed over the entity's
+    segments.
+    """
+    b = (
+        polys.select(
+            F.col(poly_id),
+            F.col(geom).alias("__poly"),
+            F.aggregate(F.col(geom), F.lit(1e9), lambda acc, c: F.least(acc, c[1])).alias("__mnlat"),
+            F.aggregate(F.col(geom), F.lit(-1e9), lambda acc, c: F.greatest(acc, c[1])).alias("__mxlat"),
+            F.aggregate(F.col(geom), F.lit(1e9), lambda acc, c: F.least(acc, c[0])).alias("__mnlon"),
+            F.aggregate(F.col(geom), F.lit(-1e9), lambda acc, c: F.greatest(acc, c[0])).alias("__mxlon"),
+        )
+        .withColumn(
+            "cell",
+            F.explode(
+                cover_bbox_cells(
+                    F.col("__mnlat"), F.col("__mnlon"), F.col("__mxlat"), F.col("__mxlon"), res
+                )
+            ),
+        )
+        .drop("__mnlat", "__mxlat", "__mnlon", "__mxlon")
+    )
+    s = segments.withColumn(
+        "cell",
+        F.explode(cover_segment_cells(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"), res)),
+    )
+    cand = (
+        s.join(b, "cell")
+        .dropDuplicates([seg_id, "seg_idx", poly_id])
+        .select(seg_id, "seg_idx", poly_id, "ax", "ay", "bx", "by", "__poly")
+    )
+
+    def refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf):
+                pdf = pdf.assign(isect_len_m=_clip_len_batch(pdf))
+            else:
+                pdf = pdf.assign(isect_len_m=np.zeros(0))
+            yield pdf[[seg_id, poly_id, "isect_len_m"]]
+
+    out = cand.mapInPandas(refine, schema=f"{seg_id} long, {poly_id} long, isect_len_m double")
+    return (
+        out.filter(F.col("isect_len_m") > 0)
+        .groupBy(seg_id, poly_id)
+        .agg(F.sum("isect_len_m").alias("isect_len_m"))
+    )

@@ -1,0 +1,81 @@
+"""Pages-side pipeline: dedupe, text extraction, geocode-index, edge snap.
+
+This is the graft layer: Common-Crawl-style pages (url, warc_ts, html, text,
+lang, lat, lon) flowing against the simplified OSM network. The per-row
+invariant (BASELINE.json input_hint) is that the extracted ``text`` stays
+byte-identical per url through every stage -- enforced here by carrying the
+column untouched (never re-encoded) and verified by the sha256 manifest in
+:func:`..synth.text_sha256`.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators import spatial
+
+_TAG_RE = re.compile(rb"<[^>]+>")
+_WS_RE = re.compile(rb"\s+")
+
+
+def dedupe_latest(pages: DataFrame) -> DataFrame:
+    """Latest crawl wins per url; deterministic tie-break on (warc_ts, text).
+
+    The reference has no streaming/dedupe analog (its inputs are single
+    snapshots); this is the standard latest-snapshot-per-key pattern:
+    ``row_number`` over ``warc_ts desc`` -- one shuffle on url.
+    """
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.col("text").asc()
+    )
+    return (
+        pages.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def extract_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Extract text from the html bytes into ``extracted_text``.
+
+    Arrow-batched ``mapInPandas`` over the binary column: strip tags,
+    collapse whitespace, decode UTF-8. Deterministic and pure, so repeated
+    extraction of the same bytes is byte-identical -- the invariant tests
+    compare ``sha256(extracted_text)`` against ``sha256(text)`` per url.
+    """
+    cols = pages.columns
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in pages.schema.fields)
+    schema = f"{fields}, extracted_text string"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raw = pdf[html_col]
+            out = []
+            for b in raw:
+                stripped = _TAG_RE.sub(b" ", bytes(b))
+                stripped = _WS_RE.sub(b" ", stripped).strip()
+                out.append(stripped.decode("utf-8", errors="replace"))
+            pdf = pdf.assign(extracted_text=out)
+            yield pdf[cols + ["extracted_text"]]
+
+    return pages.mapInPandas(run, schema=schema)
+
+
+def snap_pages_to_edges(
+    pages: DataFrame, edge_segments: DataFrame, radius_m: float = 200.0
+) -> DataFrame:
+    """Cell-local kNN(1) snap of pages to simplified-edge segments (J15).
+
+    ``edge_segments`` comes from :func:`..operators.spatial.explode_segments`
+    over the simplified edges. Returns ``(url, edge_id, dist_m)``; ties
+    broken by ``(dist_m, edge_id)`` for run-to-run determinism.
+    """
+    return spatial.knn_join_segments(
+        pages, edge_segments, radius_m=radius_m, k=1,
+        point_id="url", seg_id="edge_id",
+    ).select("url", "edge_id", "dist_m")

@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the engine.
+
+Arrow on (all custom kernels are pandas/Arrow UDFs), AQE on with skew-join
+handling (urban-core H3 cells are heavy hitters at web scale), small-file
+coalescing on. ``shuffle_partitions`` defaults to the core count so local
+runs do not pay 200-partition scheduling overhead; on a real cluster this
+is set to ~2-3x total cores via ``--conf`` at spark-submit time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "osmnetfusion-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so the bench harness can pin parallelism for the N-vs-4N scaling runs.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = cpus if cpus.isdigit() else str(os.cpu_count() or 8)
+        shuffle_partitions = max(int(n), 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # deterministic outputs: no speculative partial commits
+        .config("spark.speculation", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # keep broadcast threshold generous: dim tables (ranks, clusters,
+        # tile metadata) are tiny relative to the pages fact table
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
