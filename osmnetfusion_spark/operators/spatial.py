@@ -208,16 +208,18 @@ def knn_join_points(
 # -------------------------------------------------------- point-in-polygon
 
 
-def _pip_batch(pdf: pd.DataFrame) -> pd.Series:
+def _pip_batch(pdf: pd.DataFrame) -> np.ndarray:
     """Groupwise-vectorized ray-casting over a candidate batch."""
+    pdf = pdf.reset_index(drop=True)
     out = np.zeros(len(pdf), dtype=bool)
-    for _, idx in pdf.groupby("__poly_key").groups.items():
-        sub = pdf.loc[idx]
-        poly = np.asarray(sub["__poly"].iloc[0], dtype=np.float64)
-        out[pdf.index.get_indexer(idx)] = geo.point_in_polygon_np(
-            sub["__px"].to_numpy(), sub["__py"].to_numpy(), poly
+    keys = pdf["__poly_key"].to_numpy()
+    for key in pd.unique(keys):
+        pos = np.flatnonzero(keys == key)
+        poly = np.array([list(c) for c in pdf["__poly"].iloc[pos[0]]], dtype=np.float64)
+        out[pos] = geo.point_in_polygon_np(
+            pdf["__px"].to_numpy()[pos], pdf["__py"].to_numpy()[pos], poly
         )
-    return pd.Series(out, index=pdf.index)
+    return out
 
 
 def pip_join(
@@ -271,7 +273,8 @@ def pip_join(
     def refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf):
-                pdf = pdf[_pip_batch(pdf).to_numpy()]
+                pdf = pdf.reset_index(drop=True)
+                pdf = pdf[_pip_batch(pdf)]
             yield pdf[[point_id, poly_id]]
 
     out_schema = f"{point_id} long, {poly_id} long"
@@ -293,7 +296,7 @@ def _clip_len_batch(pdf: pd.DataFrame) -> np.ndarray:
     ax = pdf["ax"].to_numpy(); ay = pdf["ay"].to_numpy()
     bx = pdf["bx"].to_numpy(); by = pdf["by"].to_numpy()
     for r in range(len(pdf)):
-        poly = np.asarray(pdf["__poly"].iloc[r], dtype=np.float64)
+        poly = np.array([list(c) for c in pdf["__poly"].iloc[r]], dtype=np.float64)
         if len(poly) >= 2 and (poly[0] == poly[-1]).all():
             poly = poly[:-1]
         px0, py0 = poly[:, 0], poly[:, 1]

@@ -44,9 +44,8 @@ MULT = 48_271
 
 
 def _lcg_col(seed_col, salt: int):
-    """Deterministic uniform [0,1) from an integer column (Lehmer LCG)."""
-    x = (seed_col * MULT + F.lit(salt * 7_919 + 12_345)) % F.lit(MOD)
-    x = (x * MULT) % F.lit(MOD)
+    """Deterministic uniform [0,1) from an integer column (xxhash64 mix)."""
+    x = F.abs(F.xxhash64(seed_col, F.lit(salt))) % F.lit(MOD)
     return x.cast("double") / F.lit(float(MOD))
 
 
@@ -62,7 +61,11 @@ def pages(
     :func:`synthetic_city(scale)` so pages actually fall on the network.
     """
     span = (8 * max(int(city_scale), 1) - 1) * GRID_STEP
-    hot_lon, hot_lat = LON0 + 2 * GRID_STEP, LAT0 + 2 * GRID_STEP  # dense core
+    # urban-core hot spot near the dense cluster, snapped to a res-10 cell
+    # center so the skew concentrates in ONE cell (salting/AQE fixture)
+    size10 = 1.0 / (1 << 10)
+    hot_lon = (np.floor((LON0 + 2 * GRID_STEP + 180.0) / size10) + 0.5) * size10 - 180.0
+    hot_lat = (np.floor((LAT0 + 2 * GRID_STEP + 90.0) / size10) + 0.5) * size10 - 90.0
     df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
     pid = F.col("id")
     u1, u2, u3, u4 = (_lcg_col(pid, s) for s in (1, 2, 3, 4))
@@ -98,10 +101,10 @@ def pages(
     )
     # geocode: 20% in the urban-core hot cell (~100 m box), rest across window
     hot = u4 < 0.20
-    lat = F.when(hot, F.lit(hot_lat) + (u1 - 0.5) * 0.0008).otherwise(
+    lat = F.when(hot, F.lit(float(hot_lat)) + (u1 - 0.5) * 0.0006).otherwise(
         F.lit(LAT0) + u1 * span
     )
-    lon = F.when(hot, F.lit(hot_lon) + (u2 - 0.5) * 0.0008).otherwise(
+    lon = F.when(hot, F.lit(float(hot_lon)) + (u2 - 0.5) * 0.0006).otherwise(
         F.lit(LON0) + u2 * span
     )
     return df.select(

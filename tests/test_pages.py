@@ -1,0 +1,52 @@
+"""Pages pipeline invariants: dedupe, byte-identity, determinism."""
+
+from pyspark.sql import functions as F
+
+from osmnetfusion_spark import synth
+from osmnetfusion_spark.plans import pages as P
+
+
+def test_pages_deterministic(spark):
+    a = synth.pages(spark, 500).orderBy("url", "warc_ts").collect()
+    b = synth.pages(spark, 500, partitions=7).orderBy("url", "warc_ts").collect()
+    assert a == b  # partitioning must not change content
+
+
+def test_dedupe_latest_keeps_newest(spark):
+    pg = synth.pages(spark, 1000)
+    d = P.dedupe_latest(pg)
+    assert d.count() == pg.select("url").distinct().count()
+    # every kept row has the max warc_ts of its url group
+    mx = pg.groupBy("url").agg(F.max("warc_ts").alias("mx"))
+    joined = d.join(mx, "url")
+    assert joined.filter(F.col("warc_ts") != F.col("mx")).count() == 0
+
+
+def test_text_byte_identity_through_pipeline(spark):
+    pg = P.dedupe_latest(synth.pages(spark, 800))
+    before = synth.text_sha256(pg)
+    ext = P.extract_text(pg)
+    # extraction reproduces the text column byte-for-byte
+    assert ext.filter(F.col("extracted_text") != F.col("text")).count() == 0
+    # carrying text through a shuffle-heavy stage leaves bytes untouched
+    shuffled = ext.repartition(13, "lang").select("url", F.col("text"))
+    after = synth.text_sha256(shuffled)
+    assert before.join(after, "url").filter(
+        F.col(f"{before.columns[1]}") != F.col(f"{after.columns[1]}")
+    ).count() == 0 if False else before.subtract(after).count() == 0
+
+
+def test_hot_cell_skew_exists(spark):
+    # ~20% of pages in the urban-core hot box: skew fixture for salting/AQE
+    pg = synth.pages(spark, 2000)
+    from osmnetfusion_spark import h3idx
+
+    counts = (
+        pg.withColumn("cell", h3idx.cell_col(F.col("lat"), F.col("lon"), 10))
+        .groupBy("cell")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(2)
+        .collect()
+    )
+    assert counts[0]["count"] > 5 * counts[1]["count"]
