@@ -1,0 +1,652 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle twins.
+
+Every operator family from SURVEY.md §2 gets a `queries()` entry running on
+the driver's parquet tables (`/root/testdata/sf*`), and -- where the
+semantics are SQL-expressible -- an exact ANSI-SQL oracle in
+`oracle_sql()`. Spatial inputs (points, segments, rectangles) are derived
+*deterministically from the TPC-H tables with pure modular arithmetic*, so
+Spark and DuckDB compute bit-identical coordinates and the oracle can
+brute-force what the engine does cell-locally.
+
+Column aliases match between Spark and SQL exactly (the driver hashes
+values after sorting columns by name). Doubles are rounded (6 dp, 4 dp for
+metres) to absorb last-ulp libm differences between JVM and C math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import h3idx
+from .functions import geo
+from .operators import dedup, similarity, spatial, textstats
+from .plans import tiles
+
+# window aligned with the synthetic city (scale 1)
+LAT0, LON0, SPAN = 48.10, 11.50, 0.0084
+M1, M2 = 2_654_435_761, 2_246_822_519  # point derivation multipliers
+M3, M4 = 7_919, 104_729  # segment derivation multipliers
+SNAP_RADIUS_M = 100.0
+PIP_RES = 12
+TILE_RES = 12
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------- derived geometries
+
+
+def doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    lat = F.lit(LAT0) + ((F.col("doc_id") * M1) % 1_000_000).cast("double") / 1e6 * SPAN
+    lon = F.lit(LON0) + ((F.col("doc_id") * M2) % 1_000_000).cast("double") / 1e6 * SPAN
+    return d.select("doc_id", "text", "lang", lat.alias("lat"), lon.alias("lon"))
+
+
+DOC_POINTS_SQL = f"""
+  SELECT doc_id, text, lang,
+         {LAT0} + ((doc_id * {M1}) % 1000000) / 1000000.0 * {SPAN} AS lat,
+         {LON0} + ((doc_id * {M2}) % 1000000) / 1000000.0 * {SPAN} AS lon
+  FROM documents
+"""
+
+
+def supplier_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    ax = F.lit(LON0) + ((k * M3) % 1000).cast("double") / 1000.0 * SPAN
+    ay = F.lit(LAT0) + ((k * M4) % 1000).cast("double") / 1000.0 * SPAN
+    dx = (((k * 31) % 200) - 100).cast("double") / 100.0 * 0.0012
+    dy = (((k * 37) % 200) - 100).cast("double") / 100.0 * 0.0012
+    return s.select(
+        k.alias("edge_id"),
+        F.lit(0).alias("seg_idx"),
+        ax.alias("ax"), ay.alias("ay"),
+        (ax + dx).alias("bx"), (ay + dy).alias("by"),
+    )
+
+
+SUPPLIER_SEGMENTS_SQL = f"""
+  SELECT edge_id, 0 AS seg_idx, ax, ay, ax + dx AS bx, ay + dy AS by
+  FROM (
+    SELECT s_suppkey AS edge_id,
+           {LON0} + ((s_suppkey * {M3}) % 1000) / 1000.0 * {SPAN} AS ax,
+           {LAT0} + ((s_suppkey * {M4}) % 1000) / 1000.0 * {SPAN} AS ay,
+           (((s_suppkey * 31) % 200) - 100) / 100.0 * 0.0012 AS dx,
+           (((s_suppkey * 37) % 200) - 100) / 100.0 * 0.0012 AS dy
+    FROM supplier) __s0
+"""
+
+
+def nation_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    cx = F.lit(LON0) + ((k * 131) % 97).cast("double") / 97.0 * SPAN
+    cy = F.lit(LAT0) + ((k * 137) % 89).cast("double") / 89.0 * SPAN
+    w, h = F.lit(0.0008), F.lit(0.0006)
+    ring = F.array(
+        F.array(cx - w, cy - h), F.array(cx + w, cy - h),
+        F.array(cx + w, cy + h), F.array(cx - w, cy + h),
+        F.array(cx - w, cy - h),
+    )
+    return n.select(k.cast("long").alias("poly_id"), ring.alias("geometry"),
+                    (cx - w).alias("mnx"), (cx + w).alias("mxx"),
+                    (cy - h).alias("mny"), (cy + h).alias("mxy"))
+
+
+NATION_RECTS_SQL = f"""
+  SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+         cx - 0.0008 AS mnx, cx + 0.0008 AS mxx,
+         cy - 0.0006 AS mny, cy + 0.0006 AS mxy
+  FROM (
+    SELECT n_nationkey,
+           {LON0} + ((n_nationkey * 131) % 97) / 97.0 * {SPAN} AS cx,
+           {LAT0} + ((n_nationkey * 137) % 89) / 89.0 * {SPAN} AS cy
+    FROM nation) __n0
+"""
+
+
+# ------------------------------------------------------------- the queries
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: partial-agg-friendly groupBy (A2/A5 fold analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q_PRICING_SUMMARY_SQL = """
+  SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+         round(avg(l_quantity), 6) AS avg_qty,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+  ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top2_orders_per_customer(spark, sf_dir):
+    """J11's top-k-per-group pattern: row_number()<=2 by value desc."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+Q_TOP2_SQL = """
+  SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice,
+         CAST(rn AS BIGINT) AS rn
+  FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders) __t WHERE rn <= 2
+"""
+
+
+def q_region_rollup(spark, sf_dir):
+    """Broadcast dim joins + agg (J8 elevation-join analog)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+Q_REGION_ROLLUP_SQL = """
+  SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 6) AS avg_acctbal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """J4's left-anti existence pattern (reverse-edge check analog)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250_000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+Q_NO_ORDERS_SQL = """
+  SELECT c_custkey, c_name FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+  ORDER BY c_custkey
+"""
+
+
+def q_listify_sources(spark, sf_dir):
+    """A1 merged-tag fold: sorted distinct union per group."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.collect_list("source"))), ","
+            ).alias("sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_LISTIFY_SQL = """
+  SELECT lang,
+         array_to_string(list_sort(list_distinct(list(source))), ',') AS sources,
+         count(*) AS n_docs
+  FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_weighted_avg(spark, sf_dir):
+    """A2 length-weighted average fold."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity"),
+                6,
+            ).alias("wavg_price")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_WEIGHTED_AVG_SQL = """
+  SELECT l_returnflag,
+         round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg_price
+  FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+_RANKS = {"click": 5, "view": 1, "purchase": 10, "signup": 7}
+
+
+def q_rank_lookup(spark, sf_dir):
+    """P3 dict-lookup-with-default as a CASE cascade + agg."""
+    e = _t(spark, sf_dir, "events")
+    rank = F.lit(0)
+    for k, v in sorted(_RANKS.items()):
+        rank = F.when(F.col("event_type") == k, F.lit(v)).otherwise(rank)
+    return (
+        e.withColumn("rank", rank.cast("long"))
+        .groupBy("event_type", "rank")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+_rank_cases = " ".join(
+    f"WHEN event_type = '{k}' THEN {v}" for k, v in sorted(_RANKS.items())
+)
+Q_RANK_LOOKUP_SQL = f"""
+  SELECT event_type, CAST((CASE {_rank_cases} ELSE 0 END) AS BIGINT) AS rank,
+         count(*) AS n
+  FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window agg (batch twin of the streaming pipeline)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+Q_EVENTS_HOURLY_SQL = """
+  SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+         event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------- spatial queries
+
+
+def q_tile_density(spark, sf_dir):
+    """H3 encode + rasterize: per-tile page counts (pure column math)."""
+    p = doc_points(spark, sf_dir)
+    return (
+        p.withColumn("tile_id", h3idx.cell_col(F.col("lat"), F.col("lon"), TILE_RES))
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("page_count"))
+        .orderBy("tile_id")
+    )
+
+
+Q_TILE_DENSITY_SQL = f"""
+  SELECT {h3idx.cell_sql('lat', 'lon', TILE_RES)} AS tile_id,
+         count(*) AS page_count
+  FROM ({DOC_POINTS_SQL}) __p
+  GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_knn_snap(spark, sf_dir):
+    """Cell-local kNN(1) snap of doc points to segments (J5/J7/J15).
+
+    The oracle brute-forces the same closed-form distance; the engine's
+    cell-local plan must reproduce it exactly.
+    """
+    p = doc_points(spark, sf_dir).select("doc_id", "lat", "lon")
+    s = supplier_segments(spark, sf_dir)
+    out = spatial.knn_join_segments(
+        p, s, radius_m=SNAP_RADIUS_M, k=1, point_id="doc_id", seg_id="edge_id"
+    )
+    return out.select(
+        "doc_id", "edge_id", F.round("dist_m", 4).alias("dist_m")
+    ).orderBy("doc_id")
+
+
+_DIST = geo.point_segment_dist_sql("p.lat", "p.lon", "s.ay", "s.ax", "s.by", "s.bx")
+Q_KNN_SNAP_SQL = f"""
+  SELECT doc_id, edge_id, round(dist_m, 4) AS dist_m
+  FROM (
+    SELECT p.doc_id, s.edge_id, {_DIST} AS dist_m,
+           row_number() OVER (PARTITION BY p.doc_id
+                              ORDER BY {_DIST} ASC, s.edge_id ASC) AS rn
+    FROM ({DOC_POINTS_SQL}) p
+    CROSS JOIN ({SUPPLIER_SEGMENTS_SQL}) s
+    WHERE {_DIST} <= {SNAP_RADIUS_M}) __t
+  WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_pip_count(spark, sf_dir):
+    """Ray-casting PIP join (J1): docs inside derived nation rectangles."""
+    p = doc_points(spark, sf_dir).select("doc_id", "lat", "lon")
+    polys = nation_rects(spark, sf_dir).select("poly_id", "geometry")
+    hits = spatial.pip_join(
+        p, polys, point_id="doc_id", poly_id="poly_id", res=PIP_RES
+    )
+    return (
+        hits.groupBy("poly_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("poly_id")
+    )
+
+
+Q_PIP_COUNT_SQL = f"""
+  SELECT r.poly_id, count(*) AS n_docs
+  FROM ({DOC_POINTS_SQL}) p, ({NATION_RECTS_SQL}) r
+  WHERE p.lon > r.mnx AND p.lon < r.mxx AND p.lat > r.mny AND p.lat < r.mxy
+  GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tile_edge_assignment(spark, sf_dir):
+    """Per-tile edge assignment via column-only segment supercover."""
+    s = supplier_segments(spark, sf_dir)
+    return (
+        tiles.edge_tile_assignment(s, res=TILE_RES)
+        .orderBy("tile_id", "edge_id")
+        .select("tile_id", "edge_id")
+    )
+
+
+_half = h3idx.size_deg(TILE_RES) * 0.5
+Q_TILE_EDGE_SQL = f"""
+  WITH segs AS ({SUPPLIER_SEGMENTS_SQL}),
+  st AS (
+    SELECT edge_id, ax, ay, bx, by,
+           greatest(CAST(ceil(greatest(abs(bx - ax), abs(by - ay)) / {_half}) AS INT), 1) AS steps
+    FROM segs),
+  pts AS (
+    SELECT edge_id,
+           unnest(list_transform(range(0, steps + 1), s ->
+             {h3idx.cell_sql('ay + (by - ay) * s / CAST(steps AS DOUBLE)',
+                             'ax + (bx - ax) * s / CAST(steps AS DOUBLE)', TILE_RES)}
+           )) AS tile_id
+    FROM st)
+  SELECT DISTINCT tile_id, edge_id FROM pts ORDER BY tile_id, edge_id
+"""
+
+
+# ----------------------------------------------------- training-data queries
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dedup.dedup_exact(d)
+        .select("keep_id", "dup_count", F.array_join("ids", ",").alias("ids"))
+        .orderBy("keep_id")
+    )
+
+
+Q_DEDUP_EXACT_SQL = """
+  SELECT min(doc_id) AS keep_id, count(*) AS dup_count,
+         array_to_string(list_sort(list(doc_id)), ',') AS ids
+  FROM documents GROUP BY text ORDER BY keep_id
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, n=3, threshold=0.4, block_col="lang").orderBy(
+        "id_a", "id_b"
+    )
+
+
+_SH = dedup.shingle_hashes_sql("text", 3)
+Q_JACCARD_SQL = f"""
+  WITH sh AS (
+    SELECT doc_id, lang, {_SH} AS s FROM documents
+  ),
+  shf AS (SELECT * FROM sh WHERE length(s) > 0)
+  SELECT id_a, id_b, jaccard FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(
+             length(list_intersect(a.s, b.s)) * 1.0 /
+             (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))),
+             6) AS jaccard
+    FROM shf a JOIN shf b ON a.lang = b.lang AND a.doc_id < b.doc_id) __t
+  WHERE jaccard >= 0.4 ORDER BY id_a, id_b
+"""
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("simhash")
+    ).orderBy("doc_id")
+
+
+Q_SIMHASH_SQL = f"""
+  SELECT doc_id, {dedup.simhash_sql('text')} AS simhash
+  FROM documents ORDER BY doc_id
+"""
+
+
+def q_minhash_bands(spark, sf_dir):
+    """MinHash signatures (first 8 hashes as columns -> oracle-friendly).
+
+    Shingle hashes are materialized once in a first projection; the eight
+    affine re-hash minima then read the array column (CollapseProject keeps
+    the expensive array out of the duplicated expressions).
+    """
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", dedup.shingle_hashes(F.col("text"), 3).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+
+    def mh(i: int):
+        a, b = dedup.MINHASH_A[i], dedup.MINHASH_B[i]
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda h: (F.lit(a) * h + F.lit(b)) % dedup.POLY_MOD)
+        ).alias(f"mh_{i}")
+
+    return base.select("doc_id", *[mh(i) for i in range(8)]).orderBy("doc_id")
+
+
+_sh = dedup.shingle_hashes_sql("text", 3)
+_mh_cols = ", ".join(
+    f"list_min(list_transform(__sh, h -> (h * {dedup.MINHASH_A[i]} + {dedup.MINHASH_B[i]}) % {textstats.POLY_MOD})) AS mh_{i}"
+    for i in range(8)
+)
+Q_MINHASH_SQL = f"""
+  SELECT doc_id, {_mh_cols}
+  FROM (SELECT doc_id, {_sh} AS __sh FROM documents) __t
+  WHERE length(__sh) > 0 ORDER BY doc_id
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(e, q, k=5).orderBy("query_id", "rank")
+
+
+_COS = similarity.cosine_sql(
+    "list_transform(q.embedding, x -> CAST(x AS DOUBLE))",
+    "list_transform(c.embedding, x -> CAST(x AS DOUBLE))",
+)
+Q_ANN_TOPK_SQL = f"""
+  SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_COS}, 6) AS cos_sim,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_COS}, 6) DESC, c.vec_id ASC) AS rank
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id < 10 AND q.vec_id != c.vec_id) __t
+  WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(e, threshold=0.30).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_COS2 = similarity.cosine_sql(
+    "list_transform(a.embedding, x -> CAST(x AS DOUBLE))",
+    "list_transform(b.embedding, x -> CAST(x AS DOUBLE))",
+)
+Q_EMB_NEAR_DUP_SQL = f"""
+  SELECT id_a, id_b, cos_sim FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS2}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id) __t
+  WHERE cos_sim >= 0.30 ORDER BY id_a, id_b
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
+        .orderBy("doc_id")
+    )
+
+
+Q_LANG_ID_SQL = f"""
+  SELECT doc_id, {textstats.lang_id_sql('text')} AS lang_pred
+  FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    feats = textstats.quality_features(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in feats.items()]).orderBy(
+        "doc_id"
+    )
+
+
+_qf = textstats.quality_features_sql("text")
+Q_TEXT_QUALITY_SQL = f"""
+  SELECT doc_id, {', '.join(f'{v} AS {k}' for k, v in _qf.items())}
+  FROM documents ORDER BY doc_id
+"""
+
+
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        textstats.bpe_ish_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+Q_TOKEN_COUNT_SQL = f"""
+  SELECT doc_id,
+         CAST(length({textstats.tokens_sql('text')}) AS BIGINT) AS n_ws_tokens,
+         CAST({textstats.bpe_ish_count_sql('text')} AS BIGINT) AS n_bpe_tokens
+  FROM documents ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textstats.doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+Q_FINGERPRINT_SQL = f"""
+  SELECT doc_id, {textstats.doc_fingerprint_sql('text')} AS fingerprint
+  FROM documents ORDER BY doc_id
+"""
+
+
+def q_media_meta(spark, sf_dir):
+    """Multimodal metadata plumbing over binary payloads."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.md5(payload).alias("digest_md5"),
+    ).orderBy("doc_id")
+
+
+Q_MEDIA_META_SQL = """
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         md5(text) AS digest_md5
+  FROM documents ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------- registry
+
+QUERIES = {
+    "q_pricing_summary": (q_pricing_summary, Q_PRICING_SUMMARY_SQL),
+    "q_top2_orders_per_customer": (q_top2_orders_per_customer, Q_TOP2_SQL),
+    "q_region_rollup": (q_region_rollup, Q_REGION_ROLLUP_SQL),
+    "q_customers_without_orders": (q_customers_without_orders, Q_NO_ORDERS_SQL),
+    "q_listify_sources": (q_listify_sources, Q_LISTIFY_SQL),
+    "q_weighted_avg": (q_weighted_avg, Q_WEIGHTED_AVG_SQL),
+    "q_rank_lookup": (q_rank_lookup, Q_RANK_LOOKUP_SQL),
+    "q_events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
+    "q_tile_density": (q_tile_density, Q_TILE_DENSITY_SQL),
+    "q_knn_snap": (q_knn_snap, Q_KNN_SNAP_SQL),
+    "q_pip_count": (q_pip_count, Q_PIP_COUNT_SQL),
+    "q_tile_edge_assignment": (q_tile_edge_assignment, Q_TILE_EDGE_SQL),
+    "q_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
+    "q_jaccard_pairs": (q_jaccard_pairs, Q_JACCARD_SQL),
+    "q_simhash": (q_simhash, Q_SIMHASH_SQL),
+    "q_minhash": (q_minhash_bands, Q_MINHASH_SQL),
+    "q_ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
+    "q_embedding_near_dup": (q_embedding_near_dup, Q_EMB_NEAR_DUP_SQL),
+    "q_lang_id": (q_lang_id, Q_LANG_ID_SQL),
+    "q_text_quality": (q_text_quality, Q_TEXT_QUALITY_SQL),
+    "q_token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
+    "q_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
+    "q_media_meta": (q_media_meta, Q_MEDIA_META_SQL),
+}

@@ -1,0 +1,289 @@
+"""Deduplication operators for web-scale corpora.
+
+Five families, each a first-class DataFrame operator:
+
+- exact          -- hash-groupBy on normalized text (one shuffle)
+- n-gram Jaccard -- shingle sets, blocked self-join, array intersect/union
+- MinHash + LSH  -- shingle -> polynomial hash -> k minima -> banded
+                    bucket-join (the scale path: candidate pairs only)
+- SimHash        -- 48-bit sign-aggregated fingerprint, near-dup =
+                    hamming distance <= k via xor/bit_count
+- embedding      -- cosine >= tau pairs over array<float> (see similarity)
+
+All hashing uses the polynomial grammar from :mod:`.textstats` so every
+operator has a value-exact DuckDB oracle. Everything below is pure Spark
+column expressions -- the hot paths stay in whole-stage codegen; at cluster
+scale the only shuffles are the groupBys/joins listed per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import POLY_MOD, poly_hash, poly_hash_sql, tokens_col, tokens_sql
+
+# deterministic affine MinHash parameters (public constants, any odd a works)
+MINHASH_A = [2 * k + 1 for k in range(1, 65)]
+MINHASH_B = [7_919 * k + 104_729 for k in range(1, 65)]
+SIMHASH_BITS = 48
+
+
+# ------------------------------------------------------------------- exact
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedupe: keep the smallest id per identical text.
+
+    Returns (keep_id, dup_count, ids) per distinct text -- one shuffle on
+    the text hash. At 100 TB the groupBy key is ``xxhash64(text)`` rather
+    than the text itself to keep shuffle rows narrow; here we group by a
+    64-bit hash and keep a deterministic representative.
+    """
+    return (
+        df.groupBy(F.col(text_col).alias("__text"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.array_sort(F.collect_list(id_col)).alias("ids"),
+        )
+        .select("keep_id", "dup_count", "ids")
+    )
+
+
+# ------------------------------------------------------------------ shingles
+
+
+GRAM_BASE = 1_000_003
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Sorted distinct hashes of word n-gram shingles.
+
+    Two-level fold keeps the cost linear in document length: each token is
+    polynomial-hashed ONCE (char-level), then a shingle hash folds the n
+    token hashes with base :data:`GRAM_BASE`. Both levels have exact DuckDB
+    twins -> value-exact oracles.
+    """
+    tok_hashes = F.transform(tokens_col(text), poly_hash)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tok_hashes) - n, F.lit(0))),
+        lambda i: F.aggregate(
+            F.slice(tok_hashes, i + 1, n),
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * GRAM_BASE + h) % POLY_MOD,
+        ),
+    )
+    grams = F.when(F.size(tok_hashes) >= n, grams).otherwise(
+        F.array().cast("array<long>")
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+def shingle_hashes_sql(text: str, n: int = 3) -> str:
+    toks = tokens_sql(text)
+    tok_hashes = f"list_transform({toks}, t -> {poly_hash_sql('t')})"
+    gram = (
+        f"list_reduce(list_prepend(0::BIGINT, list_slice(th, i + 1, i + {n})), "
+        f"(acc, h) -> (acc * {GRAM_BASE} + h) % {POLY_MOD})"
+    )
+    return (
+        f"(SELECT CASE WHEN length(th) >= {n} THEN "
+        f"list_sort(list_distinct(list_transform(range(0, length(th) - {n} + 1), i -> {gram}))) "
+        f"ELSE [] END FROM (SELECT {tok_hashes} AS th) __th)"
+    )
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = "lang",
+) -> DataFrame:
+    """Near-dup pairs with shingle-set Jaccard >= threshold.
+
+    Blocking: self-join restricted to ``block_col`` equality (both sides of
+    the oracle apply the same blocking, so results match by construction).
+    At web scale the block key bounds the quadratic term; the MinHash/LSH
+    operator below replaces it when no natural block exists.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+        shingle_hashes(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = base.select(F.col("id").alias("id_a"), F.col("blk"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("blk"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, n: int = 3) -> Column:
+    """MinHash signature: array of k minima of affine re-hashes.
+
+    sig_i = min over shingles s of (a_i * poly(s) + b_i) mod P. Empty
+    shingle set -> nulls (filtered by callers).
+    """
+    sh = shingle_hashes(text, n)
+
+    def rehash(i: int):
+        a, b = MINHASH_A[i], MINHASH_B[i]
+        return lambda h: (F.lit(a) * h + F.lit(b)) % POLY_MOD
+
+    return F.array(
+        *[F.array_min(F.transform(sh, rehash(i))) for i in range(num_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, bucket-join.
+
+    rows_per_band = num_hashes / bands; docs sharing any full band land in
+    the same bucket. Plan: explode bands (narrow), groupBy-join on
+    (band_idx, band_hash) -- shuffle volume O(docs * bands), never
+    quadratic. Returns distinct candidate (id_a < id_b) pairs with their
+    exact Jaccard for verification.
+    """
+    r = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        minhash_signature(F.col(text_col), num_hashes, n).alias("sig"),
+        shingle_hashes(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    banded = sigs.select(
+        "id", "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.aggregate(
+                        F.slice("sig", bnd * r + 1, r),
+                        F.lit(0).cast("long"),
+                        lambda acc, h: (acc * POLY_MOD + h) % F.lit(2**61 - 1),
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bh")
+    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bh")
+    pairs = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Sign-aggregated token fingerprint (Charikar).
+
+    For each token t and bit b: contribute +1 if bit b of a derived 61-bit
+    token hash is set, else -1; fingerprint bit b = (sum > 0). Derived
+    hash = (poly(t) * a_b + b_b) mod P per bit family -- keeps everything
+    in 64-bit arithmetic that DuckDB reproduces exactly.
+    """
+    toks = F.array_distinct(tokens_col(text))
+    counters = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.when(
+                    ((poly_hash(t) * (2 * b + 3) + b * 97 + 13) % POLY_MOD) % 2 == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda c, b: F.when(
+                c > 0, F.pow(F.lit(2.0), b.cast("double")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash_sql(text: str, bits: int = SIMHASH_BITS) -> str:
+    toks = f"list_distinct({tokens_sql(text)})"
+    ph = poly_hash_sql("t")
+    bit_contrib = (
+        f"list_transform(range(0, {bits}), b -> "
+        f"CASE WHEN (({ph} * (2*b + 3) + b*97 + 13) % {POLY_MOD}) % 2 = 1 "
+        f"THEN 1::BIGINT ELSE -1::BIGINT END)"
+    )
+    counters = (
+        f"list_reduce(list_prepend(list_transform(range(0, {bits}), x -> 0::BIGINT), "
+        f"list_transform({toks}, t -> {bit_contrib})), "
+        f"(acc, row) -> list_transform(range(1, {bits} + 1), i -> acc[i] + row[i]))"
+    )
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(list_zip({counters}, range(0, {bits})), "
+        f"p -> CASE WHEN p[1] > 0 THEN (1::BIGINT << p[2]) ELSE 0::BIGINT END)), "
+        f"(a, b) -> a + b)"
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    block_col: str | None = "lang",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+        simhash(F.col(text_col)).alias("sh"),
+    )
+    a = base.select(F.col("id").alias("id_a"), "blk", F.col("sh").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), "blk", F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

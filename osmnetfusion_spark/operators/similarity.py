@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` -- brute-force exact top-k: broadcast the (small)
+  query set against the corpus, dot products via ``zip_with`` +
+  ``aggregate`` (JVM-side, no Python), per-query top-k window. The
+  correctness baseline.
+- :func:`lsh_bucket_topk` -- the scale path: random-hyperplane signature
+  buckets the corpus; queries only scan their own + hamming-1 buckets.
+  Recall (vs brute force) is asserted in tests, not assumed.
+- :func:`embedding_near_dup_pairs` -- cosine >= tau near-dup pairs with
+  equality blocking (dedup family member E).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB twin; list_cosine_similarity uses the same formula."""
+    dot = (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (x, y) -> x + y)"
+    )
+    na = f"sqrt(list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)), (x, y) -> x + y))"
+    nb = f"sqrt(list_reduce(list_prepend(0.0, list_transform({b}, x -> x * x)), (x, y) -> x + y))"
+    return f"(({dot}) / (({na}) * ({nb})))"
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (brute force, broadcast queries).
+
+    Shuffle-free scan: corpus partitions stream past the broadcast query
+    set; only the top-k window shuffles O(|queries| * k) rows... the window
+    partitions by query so the pre-aggregation is the full cross product --
+    acceptable because |queries| is small; LSH variant below is the scale
+    path.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, planes: int = 12) -> Column:
+    """Deterministic random-hyperplane sign signature (long).
+
+    Plane p, component d has pseudo-random weight
+    sin(1 + (p * dim + d) * 12.9898) * 43758.5453 fract -- the classic
+    shader-noise construction: deterministic, library-free, identical on
+    any platform with IEEE doubles.
+    """
+    def weight(p: Column, d: Column) -> Column:
+        x = F.sin((p * dim + d).cast("double") * 12.9898 + 1.0) * 43758.5453
+        return x - F.floor(x) - 0.5
+
+    sig = F.aggregate(
+        F.sequence(F.lit(0), F.lit(planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda v, d: v * weight(p, d),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            > 0,
+            F.pow(F.lit(2.0), p.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return sig
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucketed search with multi-probe.
+
+    Corpus is bucketed once by signature; each query probes its own bucket
+    plus all hamming<=probe_hamming neighbors (bit flips). Candidate volume
+    ~ corpus/2^planes * (1 + planes); recall measured in tests.
+    """
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row.d
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("bucket", hyperplane_signature(F.col("cv"), dim, planes))
+    probes = [F.col("qsig")]
+    if probe_hamming >= 1:
+        probes += [F.col("qsig").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("qsig", hyperplane_signature(F.col("qv"), dim, planes))
+        .withColumn("bucket", F.explode(F.array(*probes)))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Near-duplicate pairs: cosine >= threshold, blocked self-join."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    a = base.select(F.col("id").alias("id_a"), "blk", F.col("v").alias("va"))
+    b = base.select(F.col("id").alias("id_b"), "blk", F.col("v").alias("vb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,173 @@
+"""Text-analysis operators for web-scale training-data pipelines.
+
+Language-ID (stopword n-gram heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and polynomial document fingerprinting -- all
+pure Spark column expressions (JVM codegen, no UDF), each with an exact
+ANSI-SQL twin used by the DuckDB oracles.
+
+Hashing is a 31-base polynomial over unicode codepoints mod 1e9+7 --
+deliberately chosen over xxhash/md5 because it is expressible identically
+in Spark (``aggregate``) and DuckDB (``list_reduce``), so correctness can
+be checked value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+POLY_MOD = 1_000_000_007
+POLY_BASE = 31
+
+# minimal deterministic stopword sets (public, common-knowledge lists)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "den"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"],
+    "it": ["il", "la", "di", "e", "che", "un", "una", "per", "con", "del"],
+}
+LANGS = sorted(STOPWORDS)  # deterministic evaluation order
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased word tokens: split on non-alphanumeric runs, drop ''."""
+    return F.filter(
+        F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def tokens_sql(text: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({text}), '[^a-z0-9]+'), t -> t != '')"
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-ish token count (word tokens)."""
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """BPE-flavored subword proxy: words + standalone punctuation marks.
+
+    count = word tokens + non-space-non-word chars (each punctuation byte
+    is its own token, the way byte-level BPE fragments unknown symbols).
+    """
+    words = F.size(tokens_col(text))
+    punct = F.length(F.regexp_replace(F.lower(text), r"[a-z0-9\s]", ""))
+    return words + punct
+
+
+def bpe_ish_count_sql(text: str) -> str:
+    return (
+        f"(length({tokens_sql(text)}) "
+        f"+ length(regexp_replace(lower({text}), '[a-z0-9\\s]', '', 'g')))"
+    )
+
+
+def poly_hash(tok: Column) -> Column:
+    """31-polynomial hash of a string -> [0, 1e9+7), matching DuckDB's
+    ``list_reduce(list_transform(string_split(t,''), unicode), ...)``."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * POLY_BASE + F.ascii(c)) % POLY_MOD,
+    )
+
+
+def poly_hash_sql(tok: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({tok}, ''), c -> unicode(c)::BIGINT)), "
+        f"(a, b) -> (a * {POLY_BASE} + b) % {POLY_MOD})"
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Rolling polynomial fingerprint of the normalized document."""
+    norm = F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " ")
+    return poly_hash(norm)
+
+
+def doc_fingerprint_sql(text: str) -> str:
+    norm = f"regexp_replace(lower({text}), '[^a-z0-9]+', ' ', 'g')"
+    return poly_hash_sql(norm)
+
+
+def _stopword_hits(tokens: Column, lang: str) -> Column:
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(text: Column) -> list[Column]:
+    toks = tokens_col(text)
+    return [_stopword_hits(toks, lg).alias(f"score_{lg}") for lg in LANGS]
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over per-language stopword hits; ties -> lexicographically
+    first language; zero hits everywhere -> 'und' (undetermined)."""
+    toks = tokens_col(text)
+    scores = [(lg, _stopword_hits(toks, lg)) for lg in LANGS]
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    out = F.lit("und")
+    for lg, s in reversed(scores):  # earlier langs overwrite -> first wins ties
+        out = F.when((s == best) & (best > 0), F.lit(lg)).otherwise(out)
+    return out
+
+
+def _stopword_hits_sql(tokens_expr: str, lang: str) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+    return f"length(list_filter({tokens_expr}, t -> list_contains({arr}, t)))"
+
+
+def lang_id_sql(text: str) -> str:
+    toks = tokens_sql(text)
+    hits = {lg: _stopword_hits_sql(toks, lg) for lg in LANGS}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    cases = " ".join(
+        f"WHEN ({hits[lg]}) = ({best}) AND ({best}) > 0 THEN '{lg}'" for lg in LANGS
+    )
+    return f"(CASE {cases} ELSE 'und' END)"
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality features (C4/Gopher-style heuristics)."""
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(F.lower(text), r"[a-z0-9\s]", ""))
+    all_stop = F.array(*[F.lit(w) for lg in LANGS for w in STOPWORDS[lg]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(all_stop, t)))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6),
+        "mean_token_len": F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            / F.greatest(n_tokens, F.lit(1)),
+            6,
+        ),
+    }
+
+
+def quality_features_sql(text: str) -> dict[str, str]:
+    toks = tokens_sql(text)
+    all_stop = "[" + ", ".join(f"'{w}'" for lg in LANGS for w in STOPWORDS[lg]) + "]"
+    n_chars = f"length({text})"
+    n_tokens = f"length({toks})"
+    punct = f"length(regexp_replace(lower({text}), '[a-z0-9\\s]', '', 'g'))"
+    stop_hits = f"length(list_filter({toks}, t -> list_contains({all_stop}, t)))"
+    tok_len_sum = (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform({toks}, t -> length(t)::BIGINT)), (a,b) -> a + b)"
+    )
+    return {
+        "n_chars": f"CAST({n_chars} AS BIGINT)",
+        "n_tokens": f"CAST({n_tokens} AS BIGINT)",
+        "punct_ratio": f"round({punct} * 1.0 / greatest({n_chars}, 1), 6)",
+        "stopword_ratio": f"round({stop_hits} * 1.0 / greatest({n_tokens}, 1), 6)",
+        "mean_token_len": f"round({tok_len_sum} * 1.0 / greatest({n_tokens}, 1), 6)",
+    }

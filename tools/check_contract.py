@@ -1,0 +1,110 @@
+"""Self-check harness mimicking the driver's correctness gate.
+
+Runs every `queries()` entry on Spark and its `oracle_sql()` twin on DuckDB
+against the same sf dir, then compares row count, column names, and an
+order-insensitive value hash (doubles rounded to 9 significant-ish dp).
+
+Usage: PYTHONPATH=/root/repo python tools/check_contract.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from osmnetfusion_spark.session import get_session  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if v != v:
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(rows, cols):
+    cols_sorted = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in cols_sorted) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_session(app_name="contract-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows {name}: spark={len(srows)} (no oracle)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            orows = rel.fetchall()
+            ocols = [d[0] for d in rel.description]
+        except Exception as e:
+            print(f"FAIL {name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} != {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        else:
+            sh = value_hash([tuple(r) for r in srows], scols)
+            oh = value_hash(orows, ocols)
+            if sh != oh:
+                problems.append(f"hash {sh} != {oh}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            if "-v" in sys.argv or only:
+                print("  spark:", srows[:3])
+                print("  oracle:", orows[:3])
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
