@@ -481,7 +481,7 @@ def update_idxs(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFram
     sorted for osmnx frames), edges remap u/v and take positional osmid."""
     w_n = Window.orderBy(F.col("osmid").asc())
     n = (
-        nodes.withColumn("new_node_idx", F.row_number().over(w_n) - 1)
+        nodes.withColumn("new_node_idx", (F.row_number().over(w_n) - 1).cast("long"))
         .withColumnRenamed("osmid", "old_osmid")
         .withColumnRenamed("new_node_idx", "osmid")
     )

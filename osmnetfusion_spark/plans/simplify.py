@@ -1,0 +1,666 @@
+"""Network simplification steps 1-8 (reference p3_simplification.py:120-278)
+as distributed DataFrame transforms.
+
+Representation choices that make the reference's shapely geometry ops
+analytic (and therefore cell-local-joinable):
+
+- a node buffer is a DISK (center, radius) -- the reference buffers point
+  geometries (``p3_functions.py:288-341``), so disk-disk overlap is
+  ``dist <= r1 + r2`` and point-in-buffer is ``dist <= r``: no polygons.
+- a CLUSTER buffer (the union polygon ``geom_buff_merged``) is the SET of
+  member disks; edge-intersects-cluster is a min over member disks.
+- the cluster centroid ``geom_merged`` (reference: centroid of the union of
+  the highest-rank member disks) is approximated by the MEAN of the
+  highest-rank member centers -- exact for single members and symmetric
+  overlaps, documented divergence otherwise (no shapely available, and the
+  value only steers where merged nodes land).
+
+Determinism: every greedy "first row wins" in the reference becomes an
+explicit total order ``(highway_rank desc, osmid asc)`` so N-vs-4N-core
+runs are byte-identical (the reference itself is order-dependent and its
+parallel variant differs from its serial one; see ``p3_functions.py:529``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import h3idx
+from ..functions import geo
+
+# reference configFile.py:171-186
+HIGHWAY_RANKING = {
+    "trunk": 10.0, "trunk_link": 9.5, "primary": 9.25, "secondary": 9.0,
+    "secondary_link": 8.5, "tertiary": 8.0, "residential": 7.0,
+    "cycleway": 6.0, "path": 5.5, "footway": 5.0, "pedestrian": 4.5,
+    "service": 4.0, "steps": 3.5, "bridleway": 3.0,
+}
+# reference configFile.py:189-204 (BUFFERS_2 == BUFFERS_1)
+HIGHWAY_BUFFERS = {
+    "trunk": 18.0, "trunk_link": 18.0, "primary": 18.0, "secondary": 16.0,
+    "secondary_link": 16.0, "tertiary": 14.0, "residential": 12.0,
+    "cycleway": 12.0, "path": 10.0, "footway": 10.0, "pedestrian": 10.0,
+    "service": 6.0, "steps": 6.0, "bridleway": 6.0,
+}
+BUFFER_DEFAULT = 4.0  # 'all_others'
+CLUSTER_THRESHOLD = 50  # configFile.py:188
+MAX_ANGLE_INITIAL = 75.0  # configFile.py:225-227
+MAX_ANGLE_PREV = 60.0
+CURVE_ID_BASE = 10_000_000_00  # deterministic id namespace for curve splits
+SPLIT_ID_BASE = 10_000_000_000_00  # namespace for buffer splits
+
+
+def _map_lookup(col, mapping: dict[str, float], default: float):
+    expr = F.lit(default)
+    for k, v in sorted(mapping.items()):
+        expr = F.when(col == k, F.lit(v)).otherwise(expr)
+    return expr
+
+
+def add_highway_rank(edges: DataFrame) -> DataFrame:
+    """Step 2 (p3_functions.py:62-97): rank lookup, unknown -> 0."""
+    return edges.withColumn(
+        "highway_rank", _map_lookup(F.col("highway"), HIGHWAY_RANKING, 0.0)
+    )
+
+
+# ------------------------------------------------------------------ step 1
+
+
+def _split_one_curve(coords: np.ndarray) -> list[int]:
+    """Reference angle scan (p3_functions.py:150-161): split where the
+    segment heading deviates >75 deg from the (rolling) initial heading or
+    >60 deg from the previous one. Raw degree differences, no wraparound --
+    faithful to the reference."""
+    a = np.degrees(np.arctan2(coords[1:, 1] - coords[:-1, 1], coords[1:, 0] - coords[:-1, 0]))
+    splits = []
+    angle_initial = a[0]
+    angle_prev = a[0]
+    for i in range(len(a)):
+        if abs(a[i] - angle_initial) > MAX_ANGLE_INITIAL:
+            splits.append(i)
+            angle_initial = a[i]
+        elif abs(a[i] - angle_prev) > MAX_ANGLE_PREV:
+            splits.append(i)
+        angle_prev = a[i]
+    return splits
+
+
+def split_curves(edges: DataFrame) -> DataFrame:
+    """Step 1 (p3_functions.py:99-234): split multi-bend polylines.
+
+    Arrow-batched mapInPandas; each edge is independent (trivially
+    parallel, the reference used row-chunked mp.Pool). Sub-edge/node ids
+    are ``CURVE_ID_BASE + osmid*100 + k`` -- deterministic, collision-free
+    for osmid < 1e10/100 and <100 splits (the reference's scheme is
+    ``baseIdx + itr*100 + k`` with itr its frame index).
+
+    New nodes are derivable from the output: every sub-edge u >= base marks
+    a split node at its first coordinate (see :func:`curve_split_nodes`).
+    """
+    cols = edges.columns
+    schema = edges.schema
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                coords = np.array([list(c) for c in row["geometry"]], dtype=float)
+                if len(coords) <= 2:
+                    out_rows.append(row)
+                    continue
+                splits = _split_one_curve(coords)
+                if not splits:
+                    out_rows.append(row)
+                    continue
+                base = CURVE_ID_BASE + int(row["osmid"]) * 100
+                bounds = [0] + [s for s in splits] + [len(coords) - 1]
+                node_id = base
+                for k in range(len(bounds) - 1):
+                    i0, i1 = bounds[k], bounds[k + 1]
+                    sub = row.copy()
+                    seg = coords[i0 : i1 + 1]
+                    sub["geometry"] = [list(c) for c in seg]
+                    sub["length"] = geo.polyline_length_m(seg)
+                    sub["osmid"] = base + k
+                    if k > 0:
+                        sub["u"] = node_id
+                        node_id += 1
+                    if k < len(bounds) - 2:
+                        sub["v"] = node_id
+                    out_rows.append(sub)
+            yield pd.DataFrame(out_rows, columns=cols) if out_rows else pdf.iloc[0:0]
+
+    return edges.mapInPandas(run, schema=schema)
+
+
+def curve_split_nodes(split_edges: DataFrame, node_tag_cols: list[str]) -> DataFrame:
+    """New nodes created by :func:`split_curves`: one per new interior u."""
+    nn = (
+        split_edges.filter(F.col("u") >= CURVE_ID_BASE)
+        .select(
+            F.col("u").alias("osmid"),
+            F.element_at("geometry", 1)[0].alias("x"),
+            F.element_at("geometry", 1)[1].alias("y"),
+        )
+        .dropDuplicates(["osmid"])
+    )
+    for c in node_tag_cols:
+        nn = nn.withColumn(c, F.lit(None).cast("string"))
+    return nn
+
+
+# ------------------------------------------------------------------ step 3
+
+
+def node_importance(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Step 3 (p3_functions.py:236-286): per node, mean rank of its top-2
+    incident edges + the top edge's highway type.
+
+    Union of two joins (u-side, v-side) -> rank window top-2 -> agg. Total
+    order for ties: (rank desc, side asc, edge osmid asc) -- the reference
+    relies on its sort stability (u-join rows precede v-join rows).
+    """
+    e = edges.select("u", "v", "highway_rank", "highway", F.col("osmid").alias("__eid"))
+    via_u = e.select(F.col("u").alias("osmid"), "highway_rank", "highway", F.lit(0).alias("__side"), "__eid")
+    via_v = e.select(F.col("v").alias("osmid"), "highway_rank", "highway", F.lit(1).alias("__side"), "__eid")
+    inc = via_u.unionByName(via_v)
+    w = Window.partitionBy("osmid").orderBy(
+        F.col("highway_rank").desc(), F.col("__side").asc(), F.col("__eid").asc()
+    )
+    top2 = inc.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= 2)
+    agg = top2.groupBy("osmid").agg(
+        F.avg("highway_rank").alias("highway_rank"),
+        F.first("highway").alias("highway_conn"),  # first == highest-rank (window order)
+    )
+    # re-merge preserving all nodes (reference left-merges back :280-282)
+    return nodes.drop("highway_rank", "highway_conn").join(agg, "osmid", "left")
+
+
+# ------------------------------------------------------------------ step 4
+
+
+def add_buffer_radius(nodes: DataFrame) -> DataFrame:
+    """Step 4 (p3_functions.py:288-341): metre buffer radius keyed on the
+    node's top-ranked connected highway type."""
+    return nodes.withColumn(
+        "buf_r", _map_lookup(F.col("highway_conn"), HIGHWAY_BUFFERS, BUFFER_DEFAULT)
+    )
+
+
+# --------------------------------------------------------------- steps 5/7
+
+
+def _overlap_pairs(nodes: DataFrame) -> DataFrame:
+    """Disk-overlap pairs: cell-local join, dist <= r1 + r2 (J12)."""
+    rmax = max(HIGHWAY_BUFFERS.values())
+    res = h3idx.pick_res(2 * rmax)
+    a = nodes.select(
+        F.col("osmid").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya"),
+        F.col("buf_r").alias("ra"),
+    ).withColumn("cell", h3idx.cell_col(F.col("ya"), F.col("xa"), res))
+    offs = [dj * h3idx.SHIFT_J + di for dj in (-1, 0, 1) for di in (-1, 0, 1)]
+    b = nodes.select(
+        F.col("osmid").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb"),
+        F.col("buf_r").alias("rb"),
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.array(*[h3idx.cell_col(F.col("yb"), F.col("xb"), res) + F.lit(o) for o in offs])
+        ),
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(
+            geo.haversine_m(F.col("ya"), F.col("xa"), F.col("yb"), F.col("xb"))
+            <= F.col("ra") + F.col("rb")
+        )
+        .select("ia", "ib")
+        .dropDuplicates(["ia", "ib"])
+    )
+
+
+def connected_components(pairs: DataFrame, spark: SparkSession, max_iters: int = 25) -> DataFrame:
+    """Distributed CC: hash-min label propagation + pointer jumping
+    (replaces scipy.csgraph, p3_functions.py:417-423). Returns
+    (osmid, component) for every node that appears in a pair.
+
+    Each round does (a) label <- min(label, neighbor labels) and (b) one
+    pointer-jump label <- label(label), giving O(log diameter) rounds
+    instead of O(diameter); localCheckpoint per round truncates lineage.
+    """
+    sym = pairs.select(F.col("ia").alias("a"), F.col("ib").alias("b")).unionByName(
+        pairs.select(F.col("ib").alias("a"), F.col("ia").alias("b"))
+    )
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("osmid"))
+        .distinct()
+        .withColumn("component", F.col("osmid"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym.a == labels.osmid)
+            .groupBy(F.col("b").alias("osmid"))
+            .agg(F.min("component").alias("__nbr"))
+        )
+        l1 = labels.join(nbr_min, "osmid", "left").select(
+            "osmid",
+            F.least(F.col("component"), F.coalesce("__nbr", F.col("component"))).alias("component"),
+            F.col("component").alias("__old"),
+        )
+        # pointer jump: component <- component(component)
+        parent = l1.select(F.col("osmid").alias("__pid"), F.col("component").alias("__pcomp"))
+        l2 = (
+            l1.join(parent, l1.component == F.col("__pid"), "left")
+            .select(
+                "osmid",
+                F.least(F.col("component"), F.coalesce("__pcomp", F.col("component"))).alias("component"),
+                (F.col("component") != F.col("__old")).alias("__chg1"),
+                (F.coalesce("__pcomp", F.col("component")) < F.col("component")).alias("__chg2"),
+            )
+            .localCheckpoint()
+        )
+        changed = l2.filter(F.col("__chg1") | F.col("__chg2")).count()
+        labels = l2.drop("__chg1", "__chg2")
+        if changed == 0:
+            break
+    return labels
+
+
+def _kmeans_det(points: np.ndarray, k: int, seed: int = 42, iters: int = 50) -> np.ndarray:
+    """Deterministic seeded k-means (Lloyd's + k-means++ init).
+
+    Stands in for sklearn KMeans(random_state=42) (p3_functions.py:452);
+    exact sklearn parity is impossible without sklearn -- divergence
+    documented, determinism guaranteed."""
+    rng = np.random.default_rng(seed)
+    n = len(points)
+    centers = [points[int(rng.integers(n))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [np.sum((points - c) ** 2, axis=1) for c in centers], axis=0
+        )
+        tot = d2.sum()
+        probs = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
+        centers.append(points[int(rng.choice(n, p=probs))])
+    centers = np.array(centers)
+    assign = np.zeros(n, dtype=int)
+    for _ in range(iters):
+        d = np.linalg.norm(points[:, None, :] - centers[None, :, :], axis=2)
+        new_assign = np.argmin(d, axis=1)
+        if (new_assign == assign).all() and _ > 0:
+            break
+        assign = new_assign
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                centers[c] = points[m].mean(axis=0)
+    return assign
+
+
+def cluster_nodes(
+    nodes: DataFrame,
+    spark: SparkSession,
+    threshold: int = CLUSTER_THRESHOLD,
+    pass2: bool = False,
+) -> DataFrame:
+    """Steps 5/7 (p3_functions.py:371-484): disk-overlap clustering.
+
+    Adds/updates ``merged_by, cx, cy`` (cluster representative + merged
+    centroid). Components >= threshold are split by seeded k-means with
+    k = n // threshold + 1 (the reference's skew-breaker). In pass 2
+    (``pass2=True``) nodes outside any multi-node component KEEP their
+    pass-1 assignment (reference again=True semantics).
+    """
+    pairs = _overlap_pairs(nodes)
+    comp = connected_components(pairs, spark)
+    member = nodes.join(comp, "osmid", "left")
+
+    in_comp = member.filter(F.col("component").isNotNull()).select(
+        "osmid", "x", "y", "highway_rank", "component"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["highway_rank", "osmid"], ascending=[False, True]
+        ).reset_index(drop=True)
+        if len(pdf) < threshold:
+            groups = [pdf]
+        else:
+            pts = pdf[["x", "y"]].to_numpy()
+            k = len(pdf) // threshold + 1
+            assign = _kmeans_det(pts, k)
+            groups = [pdf[assign == c] for c in range(k) if (assign == c).any()]
+        outs = []
+        for g in groups:
+            rep = g.iloc[0]
+            top = g[g.highway_rank == g.highway_rank.max()]
+            cx, cy = float(top.x.mean()), float(top.y.mean())
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "osmid": g.osmid.to_numpy(),
+                        "merged_by": np.int64(rep.osmid),
+                        "cx": cx,
+                        "cy": cy,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    folded = in_comp.groupBy("component").applyInPandas(
+        fold, schema="osmid long, merged_by long, cx double, cy double"
+    )
+    out = member.drop("component").join(folded, "osmid", "left")
+    if pass2:
+        # keep pass-1 assignment where pass 2 found no multi-node component
+        out = (
+            out.withColumn("merged_by", F.coalesce(F.col("merged_by"), F.col("merged_by_p1")))
+            .withColumn("cx", F.coalesce(F.col("cx"), F.col("cx_p1")))
+            .withColumn("cy", F.coalesce(F.col("cy"), F.col("cy_p1")))
+        )
+    else:
+        out = (
+            out.withColumn("merged_by", F.coalesce(F.col("merged_by"), F.col("osmid")))
+            .withColumn("cx", F.coalesce(F.col("cx"), F.col("x")))
+            .withColumn("cy", F.coalesce(F.col("cy"), F.col("y")))
+        )
+    return out
+
+
+# ------------------------------------------------------------------ step 6
+
+
+def split_edges_in_buffers(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Step 6 (p3_functions.py:486-578 + repair pass :1005-1072), single
+    pass by design: collect ALL of an edge's split points, order them along
+    the line, emit segments once. The reference's sequential multi-split
+    repair disappears.
+
+    A cluster's buffer is its member-disk set; an edge qualifies against a
+    cluster iff it intersects any member disk, neither endpoint lies in any
+    member disk, and the nearest point on the edge to the cluster centroid
+    is not an endpoint. Split point = nearest polyline point to the
+    centroid (reference ``nearest_points`` :539).
+
+    Returns ``(edges_with_splits_applied, split_lists)``; the first piece
+    keeps the original osmid, later pieces/nodes get
+    ``SPLIT_ID_BASE + osmid*100 + k``. New node rows (with cluster-rep
+    attributes, reference :565-570) come from :func:`buffer_split_nodes`
+    applied to ``split_lists``.
+    """
+    clusters = nodes.groupBy("merged_by").agg(
+        F.first("cx").alias("ccx"),
+        F.first("cy").alias("ccy"),
+        F.collect_list(F.struct("x", "y", "buf_r")).alias("disks"),
+    )
+    rmax = max(HIGHWAY_BUFFERS.values())
+    res = h3idx.pick_res(2 * rmax)
+    disk_cells = clusters.select(
+        "merged_by", "ccx", "ccy", "disks",
+        F.explode(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "disks",
+                        lambda d: F.array(
+                            *[
+                                h3idx.cell_col(d["y"], d["x"], res) + F.lit(o)
+                                for o in [
+                                    dj * h3idx.SHIFT_J + di
+                                    for dj in (-1, 0, 1)
+                                    for di in (-1, 0, 1)
+                                ]
+                            ]
+                        ),
+                    )
+                )
+            )
+        ).alias("cell"),
+    )
+    eg = edges.select(F.col("osmid").alias("eid"), "geometry")
+    from ..operators.spatial import cover_segment_cells, explode_segments
+
+    segs = explode_segments(eg).withColumn(
+        "cell",
+        F.explode(cover_segment_cells(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"), res)),
+    )
+    cand = (
+        segs.join(disk_cells, "cell")
+        .dropDuplicates(["eid", "merged_by"])
+        .select("eid", "merged_by")
+        .join(eg.withColumnRenamed("osmid", "eid"), "eid")
+        .join(clusters, "merged_by")
+    )
+
+    def find_splits(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                coords = np.array([list(c) for c in r["geometry"]], dtype=float)
+                if (coords[0] == coords[-1]).all():
+                    continue  # linear ring (reference :534-536)
+                disks = np.array([[d["x"], d["y"], d["buf_r"]] for d in r["disks"]])
+                dd0 = geo.haversine_np(
+                    np.full(len(disks), coords[0, 1]), np.full(len(disks), coords[0, 0]),
+                    disks[:, 1], disks[:, 0],
+                )
+                dd1 = geo.haversine_np(
+                    np.full(len(disks), coords[-1, 1]), np.full(len(disks), coords[-1, 0]),
+                    disks[:, 1], disks[:, 0],
+                )
+                if (dd0 <= disks[:, 2]).any() or (dd1 <= disks[:, 2]).any():
+                    continue  # an endpoint is inside the buffer (:538)
+                # does the edge intersect any member disk?
+                ax, ay = coords[:-1, 0], coords[:-1, 1]
+                bx, by = coords[1:, 0], coords[1:, 1]
+                hit = False
+                for dx, dy, dr in disks:
+                    d = geo.point_segment_dist_np(
+                        np.full(len(ax), dy), np.full(len(ax), dx), ay, ax, by, bx
+                    )
+                    if (d <= dr).any():
+                        hit = True
+                        break
+                if not hit:
+                    continue
+                # nearest polyline point to the cluster centroid
+                px, py = float(r["ccx"]), float(r["ccy"])
+                kx = np.cos(np.radians(py)) * geo.M_PER_DEG
+                ky = geo.M_PER_DEG
+                apx, apy = (px - ax) * kx, (py - ay) * ky
+                abx, aby = (bx - ax) * kx, (by - ay) * ky
+                ab2 = abx * abx + aby * aby
+                t = np.where(ab2 > 0, (apx * abx + apy * aby) / np.where(ab2 > 0, ab2, 1), 0.0)
+                t = np.clip(t, 0.0, 1.0)
+                qx, qy = ax + t * (bx - ax), ay + t * (by - ay)
+                dist = np.sqrt((apx - t * abx) ** 2 + (apy - t * aby) ** 2)
+                si = int(np.argmin(dist))
+                sx, sy = float(qx[si]), float(qy[si])
+                if (abs(sx - coords[0, 0]) < 1e-12 and abs(sy - coords[0, 1]) < 1e-12) or (
+                    abs(sx - coords[-1, 0]) < 1e-12 and abs(sy - coords[-1, 1]) < 1e-12
+                ):
+                    continue  # nearest point is an endpoint (:540)
+                # position along the line for ordering multi-splits
+                seg_lens = geo.haversine_np(ay, ax, by, bx)
+                pos = float(np.sum(seg_lens[:si]) + t[si] * seg_lens[si])
+                rows.append({"eid": int(r["eid"]), "seg_i": si, "t": float(t[si]),
+                             "sx": sx, "sy": sy, "pos": pos, "mb": int(r["merged_by"])})
+            yield pd.DataFrame(
+                rows, columns=["eid", "seg_i", "t", "sx", "sy", "pos", "mb"]
+            ) if rows else pd.DataFrame(
+                {"eid": pd.Series(dtype="int64"), "seg_i": pd.Series(dtype="int64"),
+                 "t": pd.Series(dtype="float64"), "sx": pd.Series(dtype="float64"),
+                 "sy": pd.Series(dtype="float64"), "pos": pd.Series(dtype="float64"),
+                 "mb": pd.Series(dtype="int64")}
+            )
+
+    splits = cand.mapInPandas(
+        find_splits,
+        schema="eid long, seg_i long, t double, sx double, sy double, pos double, mb long",
+    ).dropDuplicates(["eid", "sx", "sy"])
+
+    split_lists = splits.groupBy("eid").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "seg_i", "t", "sx", "sy", "mb"))).alias("sp")
+    )
+    to_split = edges.join(split_lists, edges.osmid == F.col("eid"), "inner").drop("eid")
+    untouched = edges.join(split_lists, edges.osmid == F.col("eid"), "left_anti")
+
+    cols = edges.columns
+    schema = edges.schema
+
+    def apply_splits(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                coords = [list(c) for c in r["geometry"]]
+                base = SPLIT_ID_BASE + int(r["osmid"]) * 100
+                # build piece coordinate lists by walking split points in order
+                pieces = []
+                cur = [coords[0]]
+                spts = list(r["sp"])
+                k = 0
+                for si in range(len(coords) - 1):
+                    while k < len(spts) and int(spts[k]["seg_i"]) == si:
+                        pt = [float(spts[k]["sx"]), float(spts[k]["sy"])]
+                        if pt != cur[-1]:
+                            cur.append(pt)
+                        pieces.append(cur)
+                        cur = [pt]
+                        k += 1
+                    nxt = coords[si + 1]
+                    if nxt != cur[-1]:
+                        cur.append(nxt)
+                if len(cur) >= 2:
+                    pieces.append(cur)
+                pieces = [p for p in pieces if len(p) >= 2]
+                if len(pieces) <= 1:
+                    out.append(r[cols])
+                    continue
+                node_id = base
+                for j, pc in enumerate(pieces):
+                    sub = r[cols].copy()
+                    sub["geometry"] = pc
+                    sub["length"] = geo.polyline_length_m(np.array(pc))
+                    if j > 0:
+                        sub["u"] = node_id
+                        sub["osmid"] = base + j
+                        node_id += 1
+                    if j < len(pieces) - 1:
+                        sub["v"] = node_id
+                    out.append(sub)
+            yield pd.DataFrame(out, columns=cols) if out else pdf.iloc[0:0][cols]
+
+    out_edges = untouched.unionByName(to_split.mapInPandas(apply_splits, schema=schema))
+    return out_edges, split_lists
+
+
+def buffer_split_nodes(split_lists: DataFrame, ref_nodes: DataFrame) -> DataFrame:
+    """New nodes from step 6: k-th split of edge e -> node
+    ``SPLIT_ID_BASE + e*100 + k`` at the split coordinate, inheriting
+    highway_conn/highway_rank from the cluster rep that caused the split
+    (reference copies the cluster node's row, :565-570)."""
+    pts = split_lists.select(
+        "eid",
+        F.posexplode("sp").alias("k", "s"),
+    ).select(
+        (F.lit(SPLIT_ID_BASE) + F.col("eid") * 100 + F.col("k")).alias("osmid"),
+        F.col("s.sx").alias("x"),
+        F.col("s.sy").alias("y"),
+        F.col("s.mb").alias("__mb"),
+    )
+    rep = ref_nodes.select(
+        F.col("osmid").alias("__mb"),
+        F.col("highway_conn").alias("__conn"),
+        F.col("highway_rank").alias("__rank"),
+    )
+    return (
+        pts.join(F.broadcast(rep), "__mb", "left")
+        .select(
+            "osmid", "x", "y",
+            F.col("__conn").alias("highway_conn"),
+            F.col("__rank").alias("highway_rank"),
+            F.col("__mb").alias("merged_by_hint"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ step 8
+
+
+def reassign_nodes(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Step 8 (p3_functions.py:580-652): remap u/v to cluster reps, build
+    geom_linear (straight u'->v') and geom_reassigned (u' + trimmed middle
+    + v', orientation by shorter haversine length), recompute length from
+    geom_linear."""
+    midx = F.broadcast(
+        nodes.select(
+            F.col("osmid").alias("__nid"),
+            F.col("merged_by").alias("__mb"),
+            F.col("cx").alias("__cx"),
+            F.col("cy").alias("__cy"),
+        )
+    )
+    e = (
+        edges.join(midx, edges.u == F.col("__nid"), "left")
+        .withColumn("new_u", F.coalesce("__mb", F.col("u")))
+        .withColumn("u_cx", F.coalesce("__cx", F.element_at("geometry", 1)[0]))
+        .withColumn("u_cy", F.coalesce("__cy", F.element_at("geometry", 1)[1]))
+        .drop("__nid", "__mb", "__cx", "__cy")
+        .join(midx, edges.v == F.col("__nid"), "left")
+        .withColumn("new_v", F.coalesce("__mb", F.col("v")))
+        .withColumn("v_cx", F.coalesce("__cx", F.element_at("geometry", -1)[0]))
+        .withColumn("v_cy", F.coalesce("__cy", F.element_at("geometry", -1)[1]))
+        .drop("__nid", "__mb", "__cx", "__cy")
+    )
+    in_cols = e.columns
+    keep = [c for c in in_cols if c not in ("u_cx", "u_cy", "v_cx", "v_cy")]
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in e.schema.fields if f.name in keep
+    )
+    schema = (
+        f"{out_fields}, geom_linear array<array<double>>, "
+        "geom_reassigned array<array<double>>"
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            lin, rea, lens = [], [], []
+            for _, r in pdf.iterrows():
+                coords = [list(c) for c in r["geometry"]]
+                u_pt = [float(r["u_cx"]), float(r["u_cy"])]
+                v_pt = [float(r["v_cx"]), float(r["v_cy"])]
+                # trim rule (reference :607-617, faithful elif order)
+                if r["u"] == r["new_u"]:
+                    mid = coords[1:]
+                elif r["v"] == r["new_v"]:
+                    mid = coords[:-1]
+                else:
+                    mid = coords[:]
+                if mid:
+                    m = np.array(mid, dtype=float)
+                    du = geo.haversine_np(m[:, 1], m[:, 0], np.full(len(m), u_pt[1]), np.full(len(m), u_pt[0]))
+                    dv = geo.haversine_np(m[:, 1], m[:, 0], np.full(len(m), v_pt[1]), np.full(len(m), v_pt[0]))
+                    i1, i2 = int(np.argmin(du)), int(np.argmin(dv))
+                    mid = mid[i1 : i2 + 1]
+                fwd = [u_pt] + mid + [v_pt]
+                rev = [u_pt] + list(reversed(mid)) + [v_pt]
+                lf = geo.polyline_length_m(np.array(fwd))
+                lr = geo.polyline_length_m(np.array(rev))
+                chosen = fwd if lf < lr else rev
+                lin.append([u_pt, v_pt])
+                rea.append(chosen)
+                lens.append(geo.polyline_length_m(np.array([u_pt, v_pt])))
+            pdf = pdf.assign(geom_linear=lin, geom_reassigned=rea)
+            pdf["length"] = lens
+            yield pdf[keep + ["geom_linear", "geom_reassigned"]]
+
+    return e.mapInPandas(run, schema=schema)
