@@ -1,0 +1,120 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Headline = the graft flagship (synthetic city -> full simplification ->
+snap deduped pages onto the *simplified* edges -> per-tile edge
+assignments; throughput in rows/sec per BASELINE.json) plus representative
+operator queries from the driver contract on the sf-dir tables.
+
+Scaling evidence (N vs 4N cores) is produced by tools/bench_scaling.py and
+reported in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from osmnetfusion_spark import driver_contract as DC  # noqa: E402
+from osmnetfusion_spark import synth  # noqa: E402
+from osmnetfusion_spark.operators import spatial  # noqa: E402
+from osmnetfusion_spark.plans import pages as PG  # noqa: E402
+from osmnetfusion_spark.plans import pipeline, tiles  # noqa: E402
+from osmnetfusion_spark.session import get_session  # noqa: E402
+
+CONTRACT_QUERIES = [
+    "q_pricing_summary", "q_knn_snap", "q_tile_density",
+    "q_tile_edge_assignment", "q_dedup_exact", "q_simhash",
+    "q_ann_topk", "q_lang_id", "q_events_hourly",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def city_scale_of(sf: float) -> int:
+    return {0.001: 1, 0.01: 2}.get(sf, 4)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_of(sf_dir)
+    scale = city_scale_of(sf)
+    n_pages = max(int(1_000_000 * sf), 1_000)
+
+    spark = get_session(app_name="osmnetfusion-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    t_all = time.time()
+
+    # ---- flagship: simplify -> page snap -> tile assignment
+    t0 = time.time()
+    city = synth.synthetic_city(scale)
+    tables = synth.city_to_spark(spark, city)
+    final_nodes, final_edges = pipeline.run_full(spark, tables)
+    n_edges = final_edges.count()
+    queries["simplify_full"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pg = PG.dedupe_latest(synth.pages(spark, n_pages, city_scale=scale))
+    segs = spatial.explode_segments(
+        final_edges.select(F.col("g_id").alias("edge_id"), F.col("g_geo_rea").alias("geometry"))
+    ).select("edge_id", "seg_idx", "ax", "ay", "bx", "by").localCheckpoint()
+    snap = PG.snap_pages_to_edges(pg, segs, radius_m=200.0).localCheckpoint()
+    n_snapped = snap.count()
+    queries["page_snap"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    ted = tiles.tile_edge_density(snap, pg, segs)
+    n_tiles = ted.count()
+    queries["tile_assignment"] = round(time.time() - t0, 3)
+
+    # ---- representative operator queries on the driver tables
+    qs = {name: fn for name, (fn, _sql) in DC.QUERIES.items()}
+    for name in CONTRACT_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_all, 3)
+    flagship_rows = n_edges + n_snapped + n_tiles
+    flagship_sec = queries["simplify_full"] + queries["page_snap"] + queries["tile_assignment"]
+    print(
+        json.dumps(
+            {
+                "metric": "simplified-edges+tile-assignments e2e",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "n_pages": n_pages,
+                "n_simplified_edges": n_edges,
+                "n_snapped_pages": n_snapped,
+                "n_tile_edge_rows": n_tiles,
+                "flagship_rows": flagship_rows,
+                "flagship_throughput_rows_per_sec": round(flagship_rows / max(flagship_sec, 1e-9), 1),
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -167,6 +167,43 @@ def knn_join_segments(
     return ranked.filter(F.col("knn_rank") <= k)
 
 
+def knn_join_segments_adaptive(
+    points: DataFrame,
+    segments: DataFrame,
+    radii: tuple[float, ...] = (25.0, 200.0),
+    k: int = 1,
+    point_id: str = "point_id",
+    seg_id: str = "edge_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Multi-resolution kNN snap: escalate unmatched points to wider radii.
+
+    A single-pass kNN at a large radius forces coarse cells, and in dense
+    areas the per-cell candidate product explodes (the urban-core skew the
+    north star calls out). Instead: snap at the finest radius (fine cells,
+    tiny candidate sets); only points with no match escalate to the next
+    radius -- typically a few percent. The result is identical to a
+    single-pass kNN at the largest radius because any match within radius
+    r_i is by definition the global nearest within r_j > r_i as well.
+    Correctness caveat: identical only for k=1 (enforced).
+    """
+    assert k == 1, "adaptive cascade preserves exactness only for k=1"
+    remaining = points
+    outs = []
+    for r in radii:
+        matched = knn_join_segments(
+            remaining, segments, radius_m=r, k=1,
+            point_id=point_id, seg_id=seg_id, lat=lat, lon=lon,
+        ).localCheckpoint()
+        outs.append(matched)
+        remaining = remaining.join(matched.select(point_id), point_id, "left_anti")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def knn_join_points(
     probe: DataFrame,
     build: DataFrame,

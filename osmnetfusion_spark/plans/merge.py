@@ -87,7 +87,9 @@ def merge_nodes(nodes: DataFrame) -> DataFrame:
             ]
         )
 
-    return nodes.groupBy("merged_by").applyInPandas(fold, schema=NODE_OUT_SCHEMA)
+    from ..operators.groupedmap import grouped_map_batched
+
+    return grouped_map_batched(nodes, ["merged_by"], fold, NODE_OUT_SCHEMA)
 
 
 # ------------------------------------------------------------------ step 11
@@ -294,7 +296,11 @@ def merge_edges(edges: DataFrame) -> DataFrame:
         .withColumn("__ku", F.least("new_u", "new_v"))
         .withColumn("__kv", F.greatest("new_u", "new_v"))
     )
-    return prepped.groupBy("__ku", "__kv").applyInPandas(_fold_uv_group, schema=EDGE_OUT_SCHEMA)
+    from ..operators.groupedmap import grouped_map_batched
+
+    return grouped_map_batched(
+        prepped, ["__ku", "__kv"], _fold_uv_group, EDGE_OUT_SCHEMA
+    )
 
 
 # --------------------------------------------------------------- steps 12/13

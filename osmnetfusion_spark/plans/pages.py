@@ -74,8 +74,14 @@ def snap_pages_to_edges(
     ``edge_segments`` comes from :func:`..operators.spatial.explode_segments`
     over the simplified edges. Returns ``(url, edge_id, dist_m)``; ties
     broken by ``(dist_m, edge_id)`` for run-to-run determinism.
+
+    Uses the multi-resolution cascade (fine cells first, escalate the
+    unmatched tail) -- exact for k=1, and immune to the dense-cell
+    candidate blow-up at the wide radius.
     """
-    return spatial.knn_join_segments(
-        pages, edge_segments, radius_m=radius_m, k=1,
+    fine = min(25.0, radius_m)
+    radii = (fine, radius_m) if radius_m > fine else (radius_m,)
+    return spatial.knn_join_segments_adaptive(
+        pages, edge_segments, radii=radii, k=1,
         point_id="url", seg_id="edge_id",
     ).select("url", "edge_id", "dist_m")

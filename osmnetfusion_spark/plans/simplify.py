@@ -356,8 +356,10 @@ def cluster_nodes(
             )
         return pd.concat(outs, ignore_index=True)
 
-    folded = in_comp.groupBy("component").applyInPandas(
-        fold, schema="osmid long, merged_by long, cx double, cy double"
+    from ..operators.groupedmap import grouped_map_batched
+
+    folded = grouped_map_batched(
+        in_comp, ["component"], fold, "osmid long, merged_by long, cx double, cy double"
     )
     out = member.drop("component").join(folded, "osmid", "left")
     if pass2:
