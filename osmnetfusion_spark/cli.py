@@ -1,0 +1,94 @@
+"""spark-submit entry point.
+
+Launch shape on a real cluster (north rule):
+
+    zip -r onf_spark.zip osmnetfusion_spark/
+    spark-submit --py-files onf_spark.zip \\
+        --conf spark.sql.shuffle.partitions=<2-3x total cores> \\
+        -m osmnetfusion_spark.cli pipeline --scale 4 \\
+        --warehouse /warehouse/onf --resume
+
+Subcommands:
+  pipeline  -- enrichment + simplification over the synthetic city, with
+               per-stage snapshots (resume skips committed stages)
+  snap      -- pages -> simplified-edge kNN snap -> tile assignments
+  scaling   -- the N vs 4N throughput evidence (delegates to tools/)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from . import synth
+from .checkpoint import Snapshotter
+from .operators import spatial
+from .plans import pages as PG
+from .plans import pipeline, tiles
+from .session import get_session
+
+
+def cmd_pipeline(args) -> None:
+    spark = get_session(app_name="onf-pipeline", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    metrics: dict = {}
+    city = synth.city_to_spark(spark, synth.synthetic_city(args.scale))
+    if args.warehouse:
+        snap = Snapshotter(spark, args.warehouse)
+        if args.resume and snap.is_done("final_edges") and snap.is_done("final_nodes"):
+            nodes, edges = snap.load("final_nodes"), snap.load("final_edges")
+        else:
+            nodes_e, edges_e = pipeline.run_enrichment(spark, city, metrics)
+            nodes_e = snap.stage("enriched_nodes", lambda: nodes_e, "osmid")
+            edges_e = snap.stage("enriched_edges", lambda: edges_e, "osmid")
+            nodes, edges = pipeline.run_simplification(spark, nodes_e, edges_e, metrics=metrics)
+            nodes = snap.stage("final_nodes", lambda: nodes, "g_id")
+            edges = snap.stage("final_edges", lambda: edges, "g_id")
+    else:
+        nodes, edges = pipeline.run_full(spark, city, metrics)
+    print(json.dumps({"nodes": nodes.count(), "edges": edges.count(), "metrics": metrics}))
+
+
+def cmd_snap(args) -> None:
+    spark = get_session(app_name="onf-snap", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    city = synth.city_to_spark(spark, synth.synthetic_city(args.scale))
+    _, edges = pipeline.run_full(spark, city)
+    segs = spatial.explode_segments(
+        edges.select(F.col("g_id").alias("edge_id"), F.col("g_geo_rea").alias("geometry"))
+    ).select("edge_id", "seg_idx", "ax", "ay", "bx", "by")
+    pg = PG.dedupe_latest(synth.pages(spark, args.pages, city_scale=args.scale))
+    t0 = time.time()
+    snap = PG.snap_pages_to_edges(pg, segs, radius_m=args.radius)
+    ted = tiles.tile_edge_density(snap, pg, segs)
+    n = ted.count()
+    print(json.dumps({"tile_edge_rows": n, "sec": round(time.time() - t0, 2)}))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="osmnetfusion-spark")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("pipeline")
+    pp.add_argument("--scale", type=int, default=1)
+    pp.add_argument("--warehouse", default=None)
+    pp.add_argument("--resume", action="store_true")
+    pp.set_defaults(fn=cmd_pipeline)
+
+    ps = sub.add_parser("snap")
+    ps.add_argument("--scale", type=int, default=1)
+    ps.add_argument("--pages", type=int, default=10_000)
+    ps.add_argument("--radius", type=float, default=200.0)
+    ps.set_defaults(fn=cmd_snap)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

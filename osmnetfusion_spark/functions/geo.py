@@ -65,36 +65,51 @@ def point_segment_dist_m(
 ) -> Column:
     """Distance (m) from point p to segment a-b; x=lon, y=lat.
 
-    Local equirectangular projection around the point's latitude, then the
-    classic clamped-projection closed form. Pure column math -> stays in
-    whole-stage codegen and has an exact SQL twin for oracles.
+    Local equirectangular projection around the SEGMENT midpoint latitude
+    (pure function of the segment -> precomputable on a join's build side),
+    piecewise u/v/w form (u = ap.ab, v = |ab|^2, w = |ap|^2):
+
+        d^2 = w            if u <= 0         (before a)
+            = w - 2u + v   if u >= v         (past b)
+            = w - u^2/v    otherwise         (interior projection)
+
+    Chosen over the clamped-t form because Catalyst inlines filter
+    predicates into join conditions, duplicating the whole tree -- this
+    form keeps the duplicated tree ~10x smaller. Exact same value as the
+    clamped form. Degenerate segments (v=0) fall into the u<=0 branch.
     """
-    kx = F.cos(F.radians(py_)) * F.lit(M_PER_DEG)  # metres per deg lon
-    ky = F.lit(M_PER_DEG)  # metres per deg lat
+    kx = F.cos(F.radians((ay + by) * 0.5)) * F.lit(M_PER_DEG)
+    ky = F.lit(M_PER_DEG)
     apx, apy = (px - ax) * kx, (py_ - ay) * ky
     abx, aby = (bx - ax) * kx, (by - ay) * ky
-    ab2 = abx * abx + aby * aby
-    t_raw = F.when(ab2 > 0, (apx * abx + apy * aby) / ab2).otherwise(F.lit(0.0))
-    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
-    dx = apx - t * abx
-    dy = apy - t * aby
-    return F.sqrt(dx * dx + dy * dy)
+    u = apx * abx + apy * aby
+    v = abx * abx + aby * aby
+    w = apx * apx + apy * apy
+    d2 = (
+        F.when(u <= 0, w)
+        .when(u >= v, w - 2 * u + v)
+        .otherwise(w - (u * u) / v)
+    )
+    return F.sqrt(F.greatest(d2, F.lit(0.0)))
 
 
 def point_segment_dist_sql(
     py_: str, px: str, ay: str, ax: str, by: str, bx: str
 ) -> str:
     """The identical point-to-segment distance as an ANSI-SQL string."""
-    kx = f"(cos(radians({py_})) * {M_PER_DEG})"
+    kx = f"(cos(radians((({ay}) + ({by})) * 0.5)) * {M_PER_DEG})"
     ky = f"{M_PER_DEG}"
-    apx, apy = f"(({px}) - ({ax})) * {kx}", f"(({py_}) - ({ay})) * {ky}"
-    abx, aby = f"(({bx}) - ({ax})) * {kx}", f"(({by}) - ({ay})) * {ky}"
-    ab2 = f"(({abx}) * ({abx}) + ({aby}) * ({aby}))"
-    t_raw = f"(CASE WHEN {ab2} > 0 THEN (({apx}) * ({abx}) + ({apy}) * ({aby})) / ({ab2}) ELSE 0.0 END)"
-    t = f"least(greatest({t_raw}, 0.0), 1.0)"
-    dx = f"(({apx}) - ({t}) * ({abx}))"
-    dy = f"(({apy}) - ({t}) * ({aby}))"
-    return f"sqrt(({dx}) * ({dx}) + ({dy}) * ({dy}))"
+    apx, apy = f"((({px}) - ({ax})) * {kx})", f"((({py_}) - ({ay})) * {ky})"
+    abx, aby = f"((({bx}) - ({ax})) * {kx})", f"((({by}) - ({ay})) * {ky})"
+    u = f"({apx} * {abx} + {apy} * {aby})"
+    v = f"({abx} * {abx} + {aby} * {aby})"
+    w = f"({apx} * {apx} + {apy} * {apy})"
+    d2 = (
+        f"(CASE WHEN {u} <= 0 THEN {w} "
+        f"WHEN {u} >= {v} THEN {w} - 2 * {u} + {v} "
+        f"ELSE {w} - ({u} * {u}) / {v} END)"
+    )
+    return f"sqrt(greatest({d2}, 0.0))"
 
 
 # ----------------------------------------------------------------- numpy API
@@ -134,17 +149,17 @@ def angle_diff_deg(a, b) -> np.ndarray:
 def point_segment_dist_np(py_, px, ay, ax, by, bx) -> np.ndarray:
     """Vectorized twin of :func:`point_segment_dist_m` for pandas UDFs."""
     py_, px, ay, ax, by, bx = (np.asarray(a, dtype=np.float64) for a in (py_, px, ay, ax, by, bx))
-    kx = np.cos(np.radians(py_)) * M_PER_DEG
+    kx = np.cos(np.radians((ay + by) * 0.5)) * M_PER_DEG
     ky = M_PER_DEG
     apx, apy = (px - ax) * kx, (py_ - ay) * ky
     abx, aby = (bx - ax) * kx, (by - ay) * ky
-    ab2 = abx * abx + aby * aby
+    u = apx * abx + apy * aby
+    v = abx * abx + aby * aby
+    w = apx * apx + apy * apy
     with np.errstate(invalid="ignore", divide="ignore"):
-        t = np.where(ab2 > 0, (apx * abx + apy * aby) / np.where(ab2 > 0, ab2, 1.0), 0.0)
-    t = np.clip(t, 0.0, 1.0)
-    dx = apx - t * abx
-    dy = apy - t * aby
-    return np.sqrt(dx * dx + dy * dy)
+        interior = w - (u * u) / np.where(v > 0, v, 1.0)
+    d2 = np.where(u <= 0, w, np.where(u >= v, w - 2 * u + v, interior))
+    return np.sqrt(np.maximum(d2, 0.0))
 
 
 def point_in_polygon_np(px: np.ndarray, py_: np.ndarray, poly: np.ndarray) -> np.ndarray:

@@ -117,6 +117,76 @@ def cover_bbox_cells(
 # ------------------------------------------------------------------ kNN join
 
 
+def knn1_join_segments_cellfold(
+    points: DataFrame,
+    segments: DataFrame,
+    radius_m: float,
+    point_id: str = "point_id",
+    seg_id: str = "edge_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """kNN(1) with a single map-side-combinable aggregation.
+
+    Plan: build side exploded to ring-1-dilated cover cells (small; stays
+    under the broadcast threshold, so the candidate join is SHUFFLE-FREE
+    and the per-candidate distance runs inside whole-stage codegen), then
+    ONE ``groupBy(point).agg(min(struct(dist, seg_id)))`` -- lexicographic
+    struct-min IS the kNN(1) rule, and partial aggregation collapses each
+    map partition to ~one row per point before the only shuffle. Replaces
+    the groupBy-per-entity + window plan (two wide shuffles) with identical
+    results.
+    """
+    res = h3idx.pick_res(radius_m)
+    m = F.lit(geo.M_PER_DEG)
+    build = (
+        segments.select(F.col(seg_id).alias("__e"), "ax", "ay", "bx", "by")
+        .withColumn(
+            "cell",
+            F.explode(
+                cover_segment_cells(
+                    F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"), res, dilate_k=1
+                )
+            ),
+        )
+        # projection constants are pure functions of the segment: compute
+        # them ONCE on the (tiny) build side so the per-pair expression --
+        # which Catalyst duplicates into the join condition -- stays small.
+        # Same arithmetic as geo.point_segment_dist_m, bit-identical.
+        .withColumn("__kx", F.cos(F.radians((F.col("ay") + F.col("by")) * 0.5)) * m)
+        .withColumn("__abx", (F.col("bx") - F.col("ax")) * F.col("__kx"))
+        .withColumn("__aby", (F.col("by") - F.col("ay")) * m)
+        .withColumn("__v", F.col("__abx") * F.col("__abx") + F.col("__aby") * F.col("__aby"))
+    )
+    probe = points.select(point_id, lat, lon).withColumn(
+        "cell", h3idx.cell_col(F.col(lat), F.col(lon), res)
+    )
+    apx = (F.col(lon) - F.col("ax")) * F.col("__kx")
+    apy = (F.col(lat) - F.col("ay")) * m
+    u = apx * F.col("__abx") + apy * F.col("__aby")
+    w = apx * apx + apy * apy
+    d2 = (
+        F.when(u <= 0, w)
+        .when(u >= F.col("__v"), w - 2 * u + F.col("__v"))
+        .otherwise(w - (u * u) / F.col("__v"))
+    )
+    d = F.sqrt(F.greatest(d2, F.lit(0.0)))
+    cand = (
+        probe.join(F.broadcast(build), "cell")
+        .withColumn("__d", d)
+        .filter(F.col("__d") <= F.lit(float(radius_m)))
+    )
+    best = cand.groupBy(point_id).agg(
+        F.min(F.struct(F.col("__d").alias("d"), F.col("__e").alias("be"))).alias("__best")
+    )
+    return best.select(
+        F.col(point_id),
+        F.col("__best.be").alias(seg_id),
+        F.col("__best.d").alias("dist_m"),
+        F.lit(1).alias("knn_rank"),
+    )
+
+
 def knn_join_segments(
     points: DataFrame,
     segments: DataFrame,
@@ -141,7 +211,15 @@ def knn_join_segments(
     on cell -> closed-form distance -> per-entity min -> per-point top-k
     window. The probe side is never exploded, so the shuffle volume is
     O(|points| + |segments| * cover_cells).
+
+    k=1 dispatches to :func:`knn1_join_segments_cellfold` (identical
+    results, no candidate shuffle at all).
     """
+    if k == 1:
+        return knn1_join_segments_cellfold(
+            points, segments, radius_m,
+            point_id=point_id, seg_id=seg_id, lat=lat, lon=lon,
+        )
     res = h3idx.pick_res(radius_m)
     build = segments.withColumn(
         "cell",
@@ -151,7 +229,7 @@ def knn_join_segments(
     )
     probe = points.withColumn("cell", h3idx.cell_col(F.col(lat), F.col(lon), res))
 
-    cand = probe.join(build, "cell").withColumn(
+    cand = probe.join(F.broadcast(build), "cell").withColumn(
         "seg_dist_m",
         geo.point_segment_dist_m(
             F.col(lat), F.col(lon), F.col("ay"), F.col("ax"), F.col("by"), F.col("bx")

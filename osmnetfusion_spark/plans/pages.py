@@ -79,8 +79,8 @@ def snap_pages_to_edges(
     unmatched tail) -- exact for k=1, and immune to the dense-cell
     candidate blow-up at the wide radius.
     """
-    fine = min(25.0, radius_m)
-    radii = (fine, radius_m) if radius_m > fine else (radius_m,)
+    ladder = [25.0, 60.0, radius_m]
+    radii = tuple(r for r in ladder if r < radius_m) + (radius_m,)
     return spatial.knn_join_segments_adaptive(
         pages, edge_segments, radii=radii, k=1,
         point_id="url", seg_id="edge_id",

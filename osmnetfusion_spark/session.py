@@ -47,7 +47,19 @@ def get_session(
         # keep broadcast threshold generous: dim tables (ranks, clusters,
         # tile metadata) are tiny relative to the pages fact table
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor heap -- size it for
+        # all worker threads (32 threads thrash GC in a small heap)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.memory.fraction", "0.7")
+        # shuffle spill on tmpfs: VM block storage does not scale with
+        # cores; RAM-backed local dirs keep shuffle IO off the critical path
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
