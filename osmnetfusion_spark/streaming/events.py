@@ -60,50 +60,74 @@ SESSION_OUT = "user_id long, session_start timestamp, session_end timestamp, n_e
 SESSION_STATE = "start long, end long, n long, sv double"
 
 
+GAP_MS = 30 * 60 * 1000
+
+
 def _session_fn(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """30-min-gap sessionization; emits a session when the gap times out."""
-    gap_ms = 30 * 60 * 1000
+    """30-min-gap sessionization; a session flushes when the event-time
+    watermark passes ``session_end + gap`` (event-time timeout — with a
+    processing-time timeout an available-now drain would never terminate:
+    pending timeouts keep scheduling empty micro-batches forever)."""
     (user_id,) = key
-    if state.hasTimedOut:
-        start, end, n, sv = state.get
-        state.remove()
-        yield pd.DataFrame(
+
+    def frame(rows):
+        return pd.DataFrame(
             {
-                "user_id": [user_id],
-                "session_start": [pd.Timestamp(start, unit="ms")],
-                "session_end": [pd.Timestamp(end, unit="ms")],
-                "n_events": [n],
-                "sum_value": [sv],
+                "user_id": [user_id] * len(rows),
+                "session_start": [pd.Timestamp(r[0], unit="ms") for r in rows],
+                "session_end": [pd.Timestamp(r[1], unit="ms") for r in rows],
+                "n_events": [r[2] for r in rows],
+                "sum_value": [r[3] for r in rows],
             }
         )
+
+    if state.hasTimedOut:
+        row = state.get
+        state.remove()
+        yield frame([row])
         return
     start, end, n, sv = state.get if state.exists else (None, None, 0, 0.0)
-    for pdf in pdfs:
-        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
-        lo, hi = int(ts_ms.min()), int(ts_ms.max())
-        start = lo if start is None else min(start, lo)
-        end = hi if end is None else max(end, hi)
-        n += len(pdf)
-        sv += float(pdf["value"].sum())
-    state.update((start, end, n, sv))
-    state.setTimeoutDuration(gap_ms)
-    return
-    yield  # pragma: no cover
+    parts = [pdf[["ts", "value"]] for pdf in pdfs]
+    closed = []
+    if parts:
+        batch = pd.concat(parts).sort_values("ts")
+        ts_ms = (batch["ts"].astype("int64") // 1_000_000).to_numpy()
+        vals = batch["value"].to_numpy()
+        # gap-split the time-sorted events, continuing the open session from
+        # state; sessions followed by a later in-batch event > gap away close
+        # immediately, the trailing one stays open pending its timeout
+        for t, v in zip(ts_ms, vals):
+            t, v = int(t), float(v)
+            if start is None:
+                start, end, n, sv = t, t, 1, v
+            elif t - end > GAP_MS:
+                closed.append((start, end, n, sv))
+                start, end, n, sv = t, t, 1, v
+            else:
+                end = max(end, t)
+                n += 1
+                sv += v
+    if closed:
+        yield frame(closed)
+    if start is not None:
+        state.update((start, end, n, sv))
+        # flush once the watermark passes the session's gap deadline
+        state.setTimeoutTimestamp(end + GAP_MS)
 
 
-def sessionize(events: DataFrame) -> DataFrame:
+def sessionize(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Custom stateful operator: session windows via applyInPandasWithState."""
     return (
-        events.withWatermark("ts", "2 hours")
+        events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _session_fn,
             outputStructType=SESSION_OUT,
             stateStructType=SESSION_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

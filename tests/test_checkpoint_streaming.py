@@ -66,19 +66,45 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def _oracle_sessions(pdf, gap_ms):
+    """Batch 30-min-gap sessionization oracle (pandas)."""
+    out = set()
+    for uid, g in pdf.sort_values("ts").groupby("user_id"):
+        ts_ms = (g["ts"].astype("int64") // 1_000_000).tolist()
+        vals = g["value"].tolist()
+        start = end = ts_ms[0]
+        n, sv = 1, vals[0]
+        for t, v in zip(ts_ms[1:], vals[1:]):
+            if t - end > gap_ms:
+                out.add((uid, start, end, n, round(sv, 6)))
+                start, n, sv = t, 0, 0.0
+            end = t
+            n += 1
+            sv += v
+        out.add((uid, start, end, n, round(sv, 6)))
+    return out
+
+
 def test_sessionize_stateful(spark, tmp_path):
     src = str(tmp_path / "events_src2")
     ck = str(tmp_path / "ck2")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(200).write.parquet(src)
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(200)
+    batch.write.parquet(src)
     stream = SE.read_event_stream(spark, src)
-    sess = SE.sessionize(stream)
+    sess = SE.sessionize(stream, watermark="1 minute")
     q = (
         sess.writeStream.format("memory").queryName("sessions")
         .outputMode("append").option("checkpointLocation", ck)
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination()
-    # sessions only flush on timeout; with availableNow the state may stay
-    # buffered -- the operator itself must at least run without error and
-    # the query must make progress
-    assert q.lastProgress is not None
+    assert q.awaitTermination(300), "available-now sessionize drain must terminate"
+    got = {
+        (r.user_id, int(r.session_start.timestamp() * 1000),
+         int(r.session_end.timestamp() * 1000), r.n_events, round(r.sum_value, 6))
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    oracle = _oracle_sessions(batch.toPandas(), SE.GAP_MS)
+    # every flushed session must be byte-exact vs the batch oracle; sessions
+    # newer than the final watermark legitimately stay buffered in state
+    assert got, "expected at least one session to flush past the watermark"
+    assert got <= oracle, f"non-oracle sessions: {sorted(got - oracle)[:5]}"
