@@ -97,8 +97,9 @@ def run_simplification(
         if c not in new_nodes.columns:
             new_nodes = new_nodes.withColumn(c, F.lit(None))
     nodes = nodes.unionByName(new_nodes.select(nodes.columns))
-    m["step1_edges"] = edges.count()
-    m["step1_nodes"] = nodes.count()
+    if metrics is not None:
+        m["step1_edges"] = edges.count()
+        m["step1_nodes"] = nodes.count()
     lap("step1")
 
     # step 2: ranks
@@ -112,7 +113,8 @@ def run_simplification(
 
     # step 5: cluster pass 1
     nodes = simplify.cluster_nodes(nodes, spark, cluster_threshold).localCheckpoint()
-    m["step5_clusters"] = nodes.select("merged_by").distinct().count()
+    if metrics is not None:
+        m["step5_clusters"] = nodes.select("merged_by").distinct().count()
     lap("step5")
 
     # step 6: split edges crossing foreign cluster buffers
@@ -128,8 +130,9 @@ def run_simplification(
     # split nodes: cx/cy provisional = own coords until pass 2
     sp_nodes = sp_nodes.withColumn("cx", F.col("x")).withColumn("cy", F.col("y"))
     nodes = nodes.unionByName(sp_nodes.select(nodes.columns))
-    m["step6_edges"] = edges.count()
-    m["step6_nodes"] = nodes.count()
+    if metrics is not None:
+        m["step6_edges"] = edges.count()
+        m["step6_nodes"] = nodes.count()
     lap("step6")
 
     # step 7: cluster pass 2 (same buffers, reference BUFFERS_2 == _1)
@@ -140,7 +143,8 @@ def run_simplification(
     )
     nodes = simplify.cluster_nodes(spark=spark, nodes=nodes, threshold=cluster_threshold, pass2=True)
     nodes = nodes.drop("merged_by_p1", "cx_p1", "cy_p1").localCheckpoint()
-    m["step7_clusters"] = nodes.select("merged_by").distinct().count()
+    if metrics is not None:
+        m["step7_clusters"] = nodes.select("merged_by").distinct().count()
     lap("step7")
 
     # step 8: reassign edges to cluster reps
@@ -153,7 +157,8 @@ def run_simplification(
 
     # step 10: merge nodes
     final_nodes = merge.merge_nodes(nodes)
-    m["step10_nodes"] = final_nodes.count()
+    if metrics is not None:
+        m["step10_nodes"] = final_nodes.count()
     lap("step10")
 
     # step 11-12: merge parallel edges, fold tags, assemble
@@ -162,10 +167,12 @@ def run_simplification(
 
     # step 13: finalize (reindex, reversed-swap)
     final_edges = merge.finalize_edges(links).localCheckpoint()
-    m["step12_edges"] = final_edges.count()
+    if metrics is not None:
+        m["step12_edges"] = final_edges.count()
     lap("step11_13")
-    for mode, flag in (("walk", "access_wal"), ("bike", "access_bik"), ("motorized", "access_mot")):
-        m[f"edges_{mode}"] = final_edges.filter(F.coalesce(F.col(flag), F.lit(False))).count()
+    if metrics is not None:
+        for mode, flag in (("walk", "access_wal"), ("bike", "access_bik"), ("motorized", "access_mot")):
+            m[f"edges_{mode}"] = final_edges.filter(F.coalesce(F.col(flag), F.lit(False))).count()
     return final_nodes, final_edges
 
 
