@@ -132,6 +132,97 @@ def landuse_ratio(
     return out
 
 
+def landuse_ratio_all(
+    edges: DataFrame,
+    layers: list[tuple[str, DataFrame]],
+    point_buffer_m: float = 10.0,
+    poly_buffer_m: float = 5.0,
+) -> DataFrame:
+    """All land-use kinds in ONE pass (fused :func:`landuse_ratio`).
+
+    The reference runs green/retail/building sequentially
+    (p2_enrichData.py:724-726); each pass re-scans and re-shuffles the full
+    edges table. Fusing unions the (small) layer tables under a composite
+    id, does one segment explode + one kNN join + one intersection join,
+    and pivots per-kind aggregates back out -- per-kind results are grouped
+    independently, so the outputs are bit-identical to three passes while
+    the big-table work (scan, explode, shuffle) happens once. At planet
+    scale this turns 3 passes over billions of edges into 1.
+    """
+    kind_base = 1_000_000_000
+    kinds = [k for k, _ in layers]
+    uni = None
+    for i, (_, df) in enumerate(layers):
+        d = df.select(
+            (F.lit(i * kind_base) + F.col("layer_id")).alias("layer_id"),
+            "geom_type",
+            "geometry",
+        )
+        uni = d if uni is None else uni.unionByName(d)
+
+    segs = spatial.explode_segments(edges.select("edge_id", "geometry")).select(
+        "edge_id", "seg_idx", "ax", "ay", "bx", "by"
+    )
+    kind_i = (F.col("layer_id") / kind_base).cast("long")
+
+    pts = uni.filter(F.col("geom_type") == "Point").select(
+        "layer_id",
+        F.element_at(F.col("geometry"), 1)[1].alias("lat"),
+        F.element_at(F.col("geometry"), 1)[0].alias("lon"),
+    )
+    near = spatial.knn_join_segments(
+        pts, segs, radius_m=point_buffer_m, k=1_000_000,
+        point_id="layer_id", seg_id="edge_id",
+    )
+    pt_counts = (
+        near.withColumn("__ki", kind_i)
+        .groupBy("edge_id")
+        .pivot("__ki", list(range(len(kinds))))
+        .count()
+    )
+    pt_counts = pt_counts.select(
+        "edge_id",
+        *[F.col(f"`{i}`").alias(f"__pts_{k}") for i, k in enumerate(kinds)],
+    )
+
+    polys = uni.filter(F.col("geom_type").isin("Polygon", "MultiPolygon")).select(
+        "layer_id", _dilate_rect(F.col("geometry"), poly_buffer_m).alias("geometry")
+    )
+    isect = spatial.intersection_length_join(
+        segs, polys, seg_id="edge_id", poly_id="layer_id"
+    )
+    poly_ratio = (
+        isect.withColumn("__ki", kind_i)
+        .join(edges.select("edge_id", "length"), "edge_id")
+        .groupBy("edge_id", "__ki")
+        .agg(F.least(F.sum(F.col("isect_len_m") / F.col("length")), F.lit(1.0)).alias("__r"))
+        .groupBy("edge_id")
+        .pivot("__ki", list(range(len(kinds))))
+        .agg(F.first("__r"))
+    )
+    poly_ratio = poly_ratio.select(
+        "edge_id",
+        *[F.col(f"`{i}`").alias(f"__poly_{k}") for i, k in enumerate(kinds)],
+    )
+
+    out = edges.join(pt_counts, "edge_id", "left").join(poly_ratio, "edge_id", "left")
+    for k in kinds:
+        out = (
+            out.withColumn(f"{k}_points", F.coalesce(f"__pts_{k}", F.lit(0)).cast("double"))
+            .withColumn(
+                f"{k}_ratio_point",
+                F.least(F.col(f"{k}_points") * 5.0 / F.col("length"), F.lit(1.0)),
+            )
+            .withColumn(f"{k}_ratio_poly", F.coalesce(F.col(f"__poly_{k}"), F.lit(0.0)))
+            .withColumn(
+                f"{k}_ratio",
+                F.least(F.col(f"{k}_ratio_point") + F.col(f"{k}_ratio_poly"), F.lit(1.0)),
+            )
+            .drop(f"__pts_{k}", f"__poly_{k}")
+        )
+    return out
+
+
 def _dilate_rect(geom: Column, buffer_m: float) -> Column:
     """Dilate an axis-aligned ring by ``buffer_m`` (exact for rectangles,
     bbox-approximation otherwise -- the synthetic layers are rectangles)."""

@@ -45,16 +45,20 @@ def run_enrichment(
     edges = edges.withColumn("length", enrich.polyline_length_col(F.col("geometry")))
     nodes = tables["nodes"].localCheckpoint()
 
-    for kind, tbl in (
-        ("green", "landuse_green"),
-        ("retail", "landuse_retail"),
-        ("building", "landuse_building"),
-    ):
-        edges = enrich.landuse_ratio(edges, tables[tbl], kind).localCheckpoint()
-        lap(kind)
+    edges = enrich.landuse_ratio_all(
+        edges,
+        [
+            ("green", tables["landuse_green"]),
+            ("retail", tables["landuse_retail"]),
+            ("building", tables["landuse_building"]),
+        ],
+    ).localCheckpoint()
+    lap("landuse")
 
-    edges = enrich.improve_bike_edges(edges).localCheckpoint()
-    lap("bike_edges")
+    # bike-edge labeling + cycleway cascade are pure column logic / self-
+    # joins on the checkpointed landuse output -- keep them lazy and fold
+    # them into the gradient-stage materialization
+    edges = enrich.improve_bike_edges(edges)
     edges = enrich.add_cycle_paths(edges)
     nodes, edges = enrich.add_gradient(nodes, edges, tables["elevations"])
     nodes = enrich.add_traffic_lights(nodes, tables["traffic_signals"]).localCheckpoint()
