@@ -59,6 +59,12 @@ def main() -> None:
     spark = get_session(app_name="osmnetfusion-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm up executor threads + Python UDF workers (JVM JIT, worker fork,
+    # pandas/numpy import) so timings reflect steady-state throughput --
+    # on a real cluster this cost amortizes over hours-long jobs
+    warm = spark.range(0, 1 << 16, 1, 32)
+    warm.mapInPandas(lambda it: it, "id long").groupBy((F.col("id") % 97).alias("k")).count().count()
+
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
     t_all = time.time()

@@ -47,9 +47,26 @@ def get_session(
         # keep broadcast threshold generous: dim tables (ranks, clusters,
         # tile metadata) are tiny relative to the pages fact table
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # local mode: the driver heap IS the executor heap -- size it for
-        # all worker threads (32 threads thrash GC in a small heap)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # local mode: the driver heap IS the executor heap. Measured on this
+        # box (32 threads, fat binary rows): G1 on a 48g heap spent ~45% of
+        # stage runtime in GC (110s GC / 252s run in one shuffle stage);
+        # ParallelGC on 16g runs the same job 7x faster (80.7s -> 11.6s).
+        # Throughput GC + modest heap is the right default for batch
+        # analytics; override via SPARK_GRAFT_DRIVER_MEM for huge collects.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
+        # Tungsten sort/agg/join buffers off-heap: on-heap execution memory
+        # fills old-gen with multi-GB arrays that every full GC rescans
+        # (measured 549s GC in one 795s stage). Off-heap keeps the GC'd heap
+        # small and the sort path allocation-free -- same flags a production
+        # cluster would set per-executor.
+        .config("spark.memory.offHeap.enabled", "true")
+        .config(
+            "spark.memory.offHeap.size", os.environ.get("SPARK_GRAFT_OFFHEAP", "48g")
+        )
         .config("spark.memory.fraction", "0.7")
         # shuffle spill on tmpfs: VM block storage does not scale with
         # cores; RAM-backed local dirs keep shuffle IO off the critical path
