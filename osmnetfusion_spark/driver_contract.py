@@ -623,6 +623,356 @@ Q_MEDIA_META_SQL = """
 """
 
 
+# ------------------------------------------------ reference-operator twins
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """Latest-snapshot-per-key dedupe (graft warc_ts pattern, SURVEY 2.7):
+    the batch twin of plans.pages.dedupe_latest, over events/user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id", "event_id", "event_type", F.round("value", 6).alias("value")
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_LATEST_EVENT_SQL = """
+  SELECT user_id, event_id, event_type, round(value, 6) AS value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id ASC) AS rn
+        FROM events) __t
+  WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q_sessionize_batch(spark, sf_dir):
+    """30-min-gap session windows, batch formulation (lag + cumulative gap
+    count) -- oracle twin of the streaming applyInPandasWithState operator
+    (streaming/events.sessionize); the streaming test asserts subset-
+    equality against exactly this definition."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("tsec"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    gap = F.when(
+        F.col("tsec") - F.lag("tsec").over(w) > 1800, F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = e.withColumn("__g", F.coalesce(gap, F.lit(0))).withColumn(
+        "session_idx", F.sum("__g").over(w)
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("tsec").alias("session_start"),
+            F.max("tsec").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+Q_SESSIONIZE_SQL = """
+  SELECT user_id, session_idx,
+         min(tsec) AS session_start, max(tsec) AS session_end,
+         count(*) AS n_events, round(sum(value), 6) AS sum_value
+  FROM (
+    SELECT user_id, value, tsec,
+           sum(gap) OVER (PARTITION BY user_id
+                          ORDER BY tsec, event_id) AS session_idx
+    FROM (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800 THEN 1 ELSE 0 END AS gap
+      FROM events) __g0) __g1
+  GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+"""
+
+
+def _part_tags(spark, sf_dir):
+    """Deterministic OSM-ish tag columns derived from part (pure modular
+    arithmetic so the SQL oracle derives bit-identical values)."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+
+    def pick(vals, idx):
+        return F.element_at(F.array(*[F.lit(v) for v in vals]), (idx + 1).cast("int"))
+
+    return p.select(
+        k.alias("edge_id"),
+        pick(["residential", "cycleway", "path", "footway", "pedestrian"], k % 5).alias("highway"),
+        pick(["", "yes", "designated", "no"], F.floor(k / F.lit(5.0)).cast("long") % 4).alias("bicycle"),
+        pick(["", "lane", "track", "opposite", "shared_busway"], F.floor(k / F.lit(20.0)).cast("long") % 5).alias("cycleway"),
+        ((k % 2) == 0).alias("oneway"),
+        pick(["", "yes", "no"], F.floor(k / F.lit(40.0)).cast("long") % 3).alias("segregated"),
+        pick(["", "track", "lane"], F.floor(k / F.lit(120.0)).cast("long") % 3).alias("cycleway:left"),
+        pick(["", "track", "lane"], F.floor(k / F.lit(360.0)).cast("long") % 3).alias("cycleway:right"),
+    )
+
+
+_PT = """
+  SELECT p_partkey AS edge_id,
+    CASE p_partkey % 5 WHEN 0 THEN 'residential' WHEN 1 THEN 'cycleway'
+         WHEN 2 THEN 'path' WHEN 3 THEN 'footway' ELSE 'pedestrian' END AS highway,
+    CASE CAST(floor(p_partkey / 5.0) AS BIGINT) % 4 WHEN 0 THEN ''
+         WHEN 1 THEN 'yes' WHEN 2 THEN 'designated' ELSE 'no' END AS bicycle,
+    CASE CAST(floor(p_partkey / 20.0) AS BIGINT) % 5 WHEN 0 THEN ''
+         WHEN 1 THEN 'lane' WHEN 2 THEN 'track' WHEN 3 THEN 'opposite'
+         ELSE 'shared_busway' END AS cycleway,
+    (p_partkey % 2 = 0) AS oneway,
+    CASE CAST(floor(p_partkey / 40.0) AS BIGINT) % 3 WHEN 0 THEN ''
+         WHEN 1 THEN 'yes' ELSE 'no' END AS seg,
+    CASE CAST(floor(p_partkey / 120.0) AS BIGINT) % 3 WHEN 0 THEN ''
+         WHEN 1 THEN 'track' ELSE 'lane' END AS cwl,
+    CASE CAST(floor(p_partkey / 360.0) AS BIGINT) % 3 WHEN 0 THEN ''
+         WHEN 1 THEN 'track' ELSE 'lane' END AS cwr
+  FROM part
+"""
+
+
+def q_cycleway_cascade(spark, sf_dir):
+    """P5 classifier (p2_enrichData.py:213-324) -- the REAL operator
+    (plans.enrich.add_cycle_paths) over part-derived tag columns; the
+    oracle replicates the ordered branch cascade as one nested CASE."""
+    from .plans import enrich
+
+    tags = _part_tags(spark, sf_dir)
+    return (
+        enrich.add_cycle_paths(tags)
+        .select("edge_id", "cycleway_category")
+        .orderBy("edge_id")
+    )
+
+
+Q_CYCLEWAY_SQL = f"""
+  SELECT edge_id,
+    CASE
+      WHEN highway LIKE '%pedestrian%' AND bicycle LIKE '%yes%' THEN 'pedestrian_street'
+      WHEN (highway LIKE '%path%' AND bicycle LIKE '%designated%' AND seg LIKE '%no%')
+           OR (highway LIKE '%footway%' AND bicycle LIKE '%yes%') THEN 'foot_and_cycle_path'
+      WHEN (cycleway LIKE '%lane%' OR cycleway LIKE '%opposite%'
+            OR (cycleway LIKE '%lane%' AND bicycle LIKE '%designated%'))
+           AND (highway LIKE '%cycleway%' OR cycleway LIKE '%track%'
+                OR cwl LIKE '%track%' OR cwr LIKE '%track%'
+                OR (highway LIKE '%path%' AND bicycle LIKE '%designated%' AND seg LIKE '%yes%')
+                OR ((cwr LIKE '%track%' OR cwl LIKE '%track%' OR highway LIKE '%cycleway%')
+                    AND NOT oneway)) THEN 'track_or_lane'
+      WHEN (cwr LIKE '%track%' OR cwl LIKE '%track%' OR highway LIKE '%cycleway%')
+           AND NOT oneway THEN 'two_direction_cycle_path'
+      WHEN highway LIKE '%cycleway%' OR cycleway LIKE '%track%'
+           OR cwl LIKE '%track%' OR cwr LIKE '%track%'
+           OR (highway LIKE '%path%' AND bicycle LIKE '%designated%' AND seg LIKE '%yes%')
+           THEN 'one_direction_cycle_path'
+      WHEN cycleway LIKE '%shared_busway%' THEN 'shared_lane'
+      WHEN cycleway LIKE '%lane%' AND bicycle LIKE '%designated%' THEN 'exclusive_lane'
+      WHEN cycleway LIKE '%lane%' OR cycleway LIKE '%opposite%' THEN 'advisory_lane'
+      ELSE '' END AS cycleway_category
+  FROM ({_PT}) __pt ORDER BY edge_id
+"""
+
+
+def q_merge_similar_columns(spark, sf_dir):
+    """P6 coalesce-twin-columns (p2_enrichData.py:326-355): column2 wins
+    when truthy -- the real operator over part-derived twins."""
+    from .plans import enrich
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    df = p.select(
+        k.alias("edge_id"),
+        F.when(k % 3 == 0, F.col("p_brand")).otherwise(F.lit("")).alias("c1"),
+        F.when(k % 4 == 0, F.col("p_type")).otherwise(F.lit("")).alias("c2"),
+    )
+    return (
+        enrich.merge_similar_columns(df, "c1", "c2", "merged")
+        .select("edge_id", "merged")
+        .orderBy("edge_id")
+    )
+
+
+Q_MERGE_COLS_SQL = """
+  SELECT edge_id,
+         CASE WHEN c2 <> '' AND c2 <> 'nan' THEN c2
+              WHEN c1 <> '' AND c1 <> 'nan' THEN c1
+              ELSE '' END AS merged
+  FROM (SELECT p_partkey AS edge_id,
+               CASE WHEN p_partkey % 3 = 0 THEN p_brand ELSE '' END AS c1,
+               CASE WHEN p_partkey % 4 = 0 THEN p_type ELSE '' END AS c2
+        FROM part) __t ORDER BY edge_id
+"""
+
+
+def q_bearing(spark, sf_dir):
+    """P9/P11 bearing (p3_simplification.py:329, p3_functions.py:1312-1325):
+    degrees(atan2(dy, dx)) over the derived segments."""
+    s = supplier_segments(spark, sf_dir)
+    return s.select(
+        "edge_id",
+        F.round(
+            geo.bearing_deg(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")), 6
+        ).alias("bearing"),
+    ).orderBy("edge_id")
+
+
+Q_BEARING_SQL = f"""
+  SELECT edge_id, round(degrees(atan2(by - ay, bx - ax)), 6) AS bearing
+  FROM ({SUPPLIER_SEGMENTS_SQL}) s ORDER BY edge_id
+"""
+
+
+def q_gradient(spark, sf_dir):
+    """J8 elevation joins + gradient/severity (p2_enrichData.py:357-419):
+    two broadcast joins edge.u/v -> node elevation, |dh|/len rounded 4dp."""
+    s = supplier_segments(spark, sf_dir)
+    e = s.withColumn("u", (F.col("edge_id") * 3) % 100).withColumn(
+        "v", (F.col("edge_id") * 5 + 1) % 100
+    )
+    nodes = (
+        e.select(F.col("u").alias("node_id"))
+        .unionByName(e.select(F.col("v").alias("node_id")))
+        .distinct()
+        .withColumn("elevation", ((F.col("node_id") * 13) % 50).cast("double"))
+    )
+    elev = F.broadcast(nodes)
+    out = (
+        e.join(elev.select(F.col("node_id").alias("u"), F.col("elevation").alias("__hu")), "u")
+        .join(elev.select(F.col("node_id").alias("v"), F.col("elevation").alias("__hv")), "v")
+        .withColumn("len_m", geo.haversine_m(F.col("ay"), F.col("ax"), F.col("by"), F.col("bx")))
+        .withColumn("height_difference", F.abs(F.col("__hu") - F.col("__hv")))
+    )
+    return out.select(
+        "edge_id",
+        "height_difference",
+        F.round(F.col("height_difference") / F.col("len_m"), 4).alias("gradient"),
+        F.round(F.pow("height_difference", F.lit(2)) / F.col("len_m"), 4).alias("severity"),
+    ).orderBy("edge_id")
+
+
+_HAV = geo.haversine_sql("e.ay", "e.ax", "e.by", "e.bx")
+Q_GRADIENT_SQL = f"""
+  SELECT e.edge_id,
+         CAST(abs(((e.edge_id * 3) % 100 * 13) % 50
+                  - ((e.edge_id * 5 + 1) % 100 * 13) % 50) AS DOUBLE)
+           AS height_difference,
+         round(abs(((e.edge_id * 3) % 100 * 13) % 50
+                   - ((e.edge_id * 5 + 1) % 100 * 13) % 50) / ({_HAV}), 4)
+           AS gradient,
+         round(pow(abs(((e.edge_id * 3) % 100 * 13) % 50
+                       - ((e.edge_id * 5 + 1) % 100 * 13) % 50), 2) / ({_HAV}), 4)
+           AS severity
+  FROM ({SUPPLIER_SEGMENTS_SQL}) e ORDER BY e.edge_id
+"""
+
+
+def q_node_importance(spark, sf_dir):
+    """J11 node-edge incidence + top-2 rank (p3_functions.py:236-286) --
+    the REAL operator (plans.simplify.node_importance) over supplier-
+    derived edges."""
+    from .plans import simplify
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    e = s.select(
+        k.alias("osmid"),
+        ((k * 3) % 100).alias("u"),
+        ((k * 5 + 1) % 100).alias("v"),
+        (k % 11).cast("double").alias("highway_rank"),
+        F.element_at(
+            F.array(F.lit("residential"), F.lit("primary"), F.lit("path")),
+            (k % 3 + 1).cast("int"),
+        ).alias("highway"),
+    )
+    nodes = (
+        e.select(F.col("u").alias("osmid"))
+        .unionByName(e.select(F.col("v").alias("osmid")))
+        .distinct()
+    )
+    out = simplify.node_importance(nodes, e)
+    return out.select(
+        F.col("osmid").alias("node_id"),
+        F.round("highway_rank", 6).alias("mean_rank"),
+        F.col("highway_conn"),
+    ).orderBy("node_id")
+
+
+Q_NODE_IMPORTANCE_SQL = """
+  WITH e AS (
+    SELECT s_suppkey AS eid, (s_suppkey * 3) % 100 AS u,
+           (s_suppkey * 5 + 1) % 100 AS v,
+           CAST(s_suppkey % 11 AS DOUBLE) AS rank,
+           CASE s_suppkey % 3 WHEN 0 THEN 'residential'
+                WHEN 1 THEN 'primary' ELSE 'path' END AS highway
+    FROM supplier),
+  inc AS (
+    SELECT u AS node_id, rank, highway, 0 AS side, eid FROM e
+    UNION ALL
+    SELECT v AS node_id, rank, highway, 1 AS side, eid FROM e),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY node_id
+                                 ORDER BY rank DESC, side ASC, eid ASC) AS rn
+    FROM inc)
+  SELECT node_id, round(avg(rank), 6) AS mean_rank,
+         max(CASE WHEN rn = 1 THEN highway END) AS highway_conn
+  FROM ranked WHERE rn <= 2
+  GROUP BY node_id ORDER BY node_id
+"""
+
+
+def q_reverse_edge_augment(spark, sf_dir):
+    """J4 reverse-edge existence check (p2_enrichData.py:179-208): for
+    candidate directed pairs, left-anti self-join on the swapped key; emit
+    the swapped contraflow rows, union with the base set."""
+    o = _t(spark, sf_dir, "orders")
+    pairs = (
+        o.select(
+            (F.col("o_custkey") % 40).alias("u"),
+            ((F.col("o_custkey") * 7 + 3) % 40).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    cand = pairs.filter((F.col("u") + F.col("v")) % 5 == 0)
+    swapped = pairs.select(F.col("v").alias("__su"), F.col("u").alias("__sv"))
+    added = (
+        cand.join(
+            swapped,
+            (cand.u == F.col("__su")) & (cand.v == F.col("__sv")),
+            "left_anti",
+        )
+        .select(F.col("v").alias("u"), F.col("u").alias("v"))
+        .withColumn("src", F.lit("bike_only"))
+    )
+    return (
+        pairs.withColumn("src", F.lit("base"))
+        .unionByName(added)
+        .orderBy("src", "u", "v")
+    )
+
+
+Q_REVERSE_EDGE_SQL = """
+  WITH pairs AS (
+    SELECT DISTINCT o_custkey % 40 AS u, (o_custkey * 7 + 3) % 40 AS v
+    FROM orders WHERE o_custkey % 40 <> (o_custkey * 7 + 3) % 40),
+  cand AS (SELECT * FROM pairs WHERE (u + v) % 5 = 0),
+  added AS (
+    SELECT c.v AS u, c.u AS v, 'bike_only' AS src FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.u = c.v AND p.v = c.u))
+  SELECT u, v, 'base' AS src FROM pairs
+  UNION ALL SELECT u, v, src FROM added
+  ORDER BY src, u, v
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -649,4 +999,12 @@ QUERIES = {
     "q_token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
     "q_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
     "q_media_meta": (q_media_meta, Q_MEDIA_META_SQL),
+    "q_latest_event_per_user": (q_latest_event_per_user, Q_LATEST_EVENT_SQL),
+    "q_sessionize_batch": (q_sessionize_batch, Q_SESSIONIZE_SQL),
+    "q_cycleway_cascade": (q_cycleway_cascade, Q_CYCLEWAY_SQL),
+    "q_merge_similar_columns": (q_merge_similar_columns, Q_MERGE_COLS_SQL),
+    "q_bearing": (q_bearing, Q_BEARING_SQL),
+    "q_gradient": (q_gradient, Q_GRADIENT_SQL),
+    "q_node_importance": (q_node_importance, Q_NODE_IMPORTANCE_SQL),
+    "q_reverse_edge_augment": (q_reverse_edge_augment, Q_REVERSE_EDGE_SQL),
 }

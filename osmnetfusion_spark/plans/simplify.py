@@ -176,7 +176,9 @@ def node_importance(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     top2 = inc.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= 2)
     agg = top2.groupBy("osmid").agg(
         F.avg("highway_rank").alias("highway_rank"),
-        F.first("highway").alias("highway_conn"),  # first == highest-rank (window order)
+        # the top-ranked edge's highway: F.first after a shuffle is NOT
+        # order-guaranteed -- pick rn==1 explicitly (deterministic)
+        F.max(F.when(F.col("__rn") == 1, F.col("highway"))).alias("highway_conn"),
     )
     # re-merge preserving all nodes (reference left-merges back :280-282)
     return nodes.drop("highway_rank", "highway_conn").join(agg, "osmid", "left")
