@@ -108,16 +108,24 @@ def split_curves(edges: DataFrame) -> DataFrame:
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_rows = []
-            for _, row in pdf.iterrows():
-                coords = np.array([list(c) for c in row["geometry"]], dtype=float)
-                if len(coords) <= 2:
-                    out_rows.append(row)
-                    continue
+            # fast path: edges with <=2 coords (the vast majority at scale)
+            # pass through without touching a Python row loop; only curve
+            # candidates pay per-row work
+            n_coords = pdf["geometry"].str.len()
+            cand_pos = np.flatnonzero((n_coords > 2).to_numpy())
+            split_plans = []  # (positional idx, coords, splits)
+            for i in cand_pos:
+                coords = np.array([list(c) for c in pdf.iat[i, pdf.columns.get_loc("geometry")]], dtype=float)
                 splits = _split_one_curve(coords)
-                if not splits:
-                    out_rows.append(row)
-                    continue
+                if splits:
+                    split_plans.append((i, coords, splits))
+            split_set = {i for i, _, _ in split_plans}
+            keep_mask = np.ones(len(pdf), dtype=bool)
+            keep_mask[list(split_set)] = False
+            outs = [pdf.iloc[keep_mask]] if keep_mask.any() else []
+            out_rows = []
+            for i, coords, splits in split_plans:
+                row = pdf.iloc[i]
                 base = CURVE_ID_BASE + int(row["osmid"]) * 100
                 bounds = [0] + [s for s in splits] + [len(coords) - 1]
                 node_id = base
@@ -134,7 +142,9 @@ def split_curves(edges: DataFrame) -> DataFrame:
                     if k < len(bounds) - 2:
                         sub["v"] = node_id
                     out_rows.append(sub)
-            yield pd.DataFrame(out_rows, columns=cols) if out_rows else pdf.iloc[0:0]
+            if out_rows:
+                outs.append(pd.DataFrame(out_rows, columns=cols))
+            yield pd.concat(outs, ignore_index=True)[cols] if outs else pdf.iloc[0:0]
 
     return edges.mapInPandas(run, schema=schema)
 
