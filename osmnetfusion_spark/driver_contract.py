@@ -973,6 +973,43 @@ Q_REVERSE_EDGE_SQL = """
 """
 
 
+def q_tile_vectorize(spark, sf_dir):
+    """Raster->vector round trip: per-tile page counts, then reconstruct
+    each tile's polygon ring from the cell id (plans.tiles.vectorize_tiles
+    is the pure-column inverse of the encode)."""
+    from .plans import tiles as TI
+
+    p = doc_points(spark, sf_dir).select("doc_id", "lat", "lon")
+    raster = TI.page_tile_density(p, res=TILE_RES)
+    vec = TI.vectorize_tiles(raster)
+    return vec.select(
+        "tile_id",
+        F.col("page_count"),
+        F.round(F.col("tile_ring")[0][0], 9).alias("mnx"),
+        F.round(F.col("tile_ring")[0][1], 9).alias("mny"),
+        F.round(F.col("tile_ring")[2][0], 9).alias("mxx"),
+        F.round(F.col("tile_ring")[2][1], 9).alias("mxy"),
+    ).orderBy("tile_id")
+
+
+_TCELL = h3idx.cell_sql("lat", "lon", TILE_RES)
+_TSIZE = 1.0 / (1 << TILE_RES)
+Q_TILE_VECTORIZE_SQL = f"""
+  SELECT tile_id, page_count,
+         round(i * CAST({_TSIZE} AS DOUBLE) - 180.0, 9) AS mnx,
+         round(j * CAST({_TSIZE} AS DOUBLE) - 90.0, 9) AS mny,
+         round((i + 1) * CAST({_TSIZE} AS DOUBLE) - 180.0, 9) AS mxx,
+         round((j + 1) * CAST({_TSIZE} AS DOUBLE) - 90.0, 9) AS mxy
+  FROM (
+    SELECT tile_id, count(*) AS page_count,
+           (tile_id - {TILE_RES} * {h3idx.SHIFT_RES}) // {h3idx.SHIFT_J} AS j,
+           (tile_id - {TILE_RES} * {h3idx.SHIFT_RES}) % {h3idx.SHIFT_J} AS i
+    FROM (SELECT {_TCELL} AS tile_id FROM ({DOC_POINTS_SQL}) p) __c
+    GROUP BY tile_id) __t
+  ORDER BY tile_id
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1007,4 +1044,5 @@ QUERIES = {
     "q_gradient": (q_gradient, Q_GRADIENT_SQL),
     "q_node_importance": (q_node_importance, Q_NODE_IMPORTANCE_SQL),
     "q_reverse_edge_augment": (q_reverse_edge_augment, Q_REVERSE_EDGE_SQL),
+    "q_tile_vectorize": (q_tile_vectorize, Q_TILE_VECTORIZE_SQL),
 }
