@@ -57,8 +57,17 @@ def grouped_map_batched(
                     for _, g in body.groupby(keys, sort=False)
                 ]
                 outs = [o for o in outs if o is not None and len(o)]
-                if outs:
-                    yield pd.concat(outs, ignore_index=True)
+                if len(outs) == 1:
+                    yield outs[0]
+                elif outs:
+                    import warnings
+
+                    with warnings.catch_warnings():
+                        # pandas FutureWarning about all-NA column dtype
+                        # inference during concat; Arrow casts the result
+                        # to the declared schema anyway
+                        warnings.simplefilter("ignore", FutureWarning)
+                        yield pd.concat(outs, ignore_index=True)
         if carry is not None and len(carry):
             out = fold(carry.reset_index(drop=True))
             if out is not None and len(out):
