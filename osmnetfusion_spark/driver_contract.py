@@ -1010,6 +1010,32 @@ Q_TILE_VECTORIZE_SQL = f"""
 """
 
 
+def q_tile_edges_salted(spark, sf_dir):
+    """Skew-safe holistic fold (north rule "salted repartitioning"): per
+    tile, the exact sorted distinct list of snapped doc ids, computed with
+    the two-phase salted aggregation (operators.skew.salted_list_agg) --
+    hot urban-core tiles split across 16 reducers before the merge."""
+    from .operators import skew
+
+    pts = doc_points(spark, sf_dir).select(
+        "doc_id", h3idx.cell_col(F.col("lat"), F.col("lon"), TILE_RES).alias("tile_id")
+    )
+    folded = skew.salted_list_agg(pts, ["tile_id"], "doc_id", out="doc_ids")
+    return folded.select(
+        "tile_id",
+        F.concat_ws(",", F.transform("doc_ids", lambda d: d.cast("string"))).alias("doc_ids"),
+    ).orderBy("tile_id")
+
+
+Q_TILE_EDGES_SALTED_SQL = f"""
+  SELECT tile_id,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+  FROM (SELECT DISTINCT doc_id, {h3idx.cell_sql('lat', 'lon', TILE_RES)} AS tile_id
+        FROM ({DOC_POINTS_SQL}) p) __t
+  GROUP BY tile_id ORDER BY tile_id
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1045,4 +1071,5 @@ QUERIES = {
     "q_node_importance": (q_node_importance, Q_NODE_IMPORTANCE_SQL),
     "q_reverse_edge_augment": (q_reverse_edge_augment, Q_REVERSE_EDGE_SQL),
     "q_tile_vectorize": (q_tile_vectorize, Q_TILE_VECTORIZE_SQL),
+    "q_tile_edges_salted": (q_tile_edges_salted, Q_TILE_EDGES_SALTED_SQL),
 }

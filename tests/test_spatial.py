@@ -170,3 +170,32 @@ def test_tile_assignment_and_vectorize(spark):
         ring = np.asarray(r.tile_ring)
         assert ring[0][0] <= clon[0] <= ring[2][0]
         assert ring[0][1] <= clat[0] <= ring[2][1]
+
+
+def test_salted_list_agg_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from osmnetfusion_spark.operators.skew import salted_list_agg
+
+    # heavy-hitter key 0 holds 80% of rows (urban-core skew shape)
+    df = spark.range(0, 5000).select(
+        F.when(F.col("id") % 5 < 4, 0).otherwise(F.col("id") % 7).alias("k"),
+        (F.col("id") % 997).alias("v"),
+    )
+    got = {
+        r.k: r.vals
+        for r in salted_list_agg(df, ["k"], "v", out="vals", n_salt=8).collect()
+    }
+    want = {
+        r.k: r.vals
+        for r in df.groupBy("k")
+        .agg(F.array_sort(F.collect_set("v")).alias("vals"))
+        .collect()
+    }
+    assert got == want
+    # salt count must not change results
+    got4 = {
+        r.k: r.vals
+        for r in salted_list_agg(df, ["k"], "v", out="vals", n_salt=4).collect()
+    }
+    assert got4 == want
