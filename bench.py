@@ -61,9 +61,13 @@ def main() -> None:
 
     # warm up executor threads + Python UDF workers (JVM JIT, worker fork,
     # pandas/numpy import) so timings reflect steady-state throughput --
-    # on a real cluster this cost amortizes over hours-long jobs
+    # on a real cluster this cost amortizes over hours-long jobs. A scale-1
+    # mini pipeline exercises the same operators/codegen paths the timed
+    # flagship runs.
     warm = spark.range(0, 1 << 16, 1, 32)
     warm.mapInPandas(lambda it: it, "id long").groupBy((F.col("id") % 97).alias("k")).count().count()
+    _wn, _we = pipeline.run_full(spark, synth.city_to_spark(spark, synth.synthetic_city(1)))
+    _we.count()
 
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}

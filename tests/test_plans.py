@@ -1,0 +1,55 @@
+"""Physical-plan shape regressions: the optimizations the engine relies on
+at 100 TB must be visible in .explain() at any scale -- filter pushdown to
+the parquet scan, column pruning, broadcast of small sides, and no
+accidental cartesian products on the hot paths."""
+
+import pytest
+
+from osmnetfusion_spark import driver_contract as DC
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = DC.QUERIES[name][0](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "q_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_on_knn_scan(spark):
+    plan = _plan(spark, "q_knn_snap")
+    # the kNN snap must read ONLY the key column from documents -- lat/lon
+    # are derived; reading text/html-sized columns at 10^12 rows would sink it
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    assert "ReadSchema: struct<s_suppkey:bigint>" in plan
+
+
+def test_knn_build_side_broadcast(spark):
+    plan = _plan(spark, "q_knn_snap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "q_region_rollup")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = _plan(spark, "q_pricing_summary")
+    # two HashAggregates (partial + final) around one exchange: map-side
+    # combine is what keeps high-cardinality rollups shuffle-light
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_salted_fold_two_phases(spark):
+    plan = _plan(spark, "q_tile_edges_salted")
+    # phase 1 groups by (tile, salt), phase 2 by tile: two agg exchanges
+    assert "xxhash64" in plan and "pmod" in plan
