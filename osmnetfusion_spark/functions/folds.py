@@ -147,16 +147,35 @@ NON_MOTORIZED_HW = ["path", "footway", "pedestrian", "steps", "bridleway", "cycl
 
 
 def _uniq(series) -> list:
-    return list(pd.Series(list(series)).explode().unique())
+    """Pure-Python twin of ``pd.Series(...).explode().unique()`` -- the
+    groups here are 2-5 rows, where building a Series costs 50x the scan.
+    Matches explode semantics: list values flatten, an EMPTY list yields
+    one NaN, NaN dedupes to a single entry, first-occurrence order."""
+    vals = series.tolist() if hasattr(series, "tolist") else list(series)
+    seen: list = []
+    keys: set = set()
+    for a in vals:
+        if isinstance(a, np.ndarray):
+            sub = a.tolist() or [float("nan")]
+        elif isinstance(a, (list, tuple)):
+            sub = list(a) or [float("nan")]
+        else:
+            sub = (a,)
+        for b in sub:
+            k = "__nan__" if (isinstance(b, float) and b != b) else b
+            if k not in keys:
+                keys.add(k)
+                seen.append(b)
+    return seen
 
 
 def _bike_tag_any(df: pd.DataFrame) -> bool:
     for c in BIKE_TAG_COLS:
         if c not in df.columns:
             continue
-        vals = {x for x in df[c].explode().values if (x is not None) and (x == x)}
-        if any(str(x) not in ["no", ""] for x in vals):
-            return True
+        for x in _uniq(df[c]):
+            if (x is not None) and (x == x) and str(x) not in ["no", ""]:
+                return True
     return False
 
 
@@ -300,7 +319,7 @@ def parking_py(df: pd.DataFrame) -> tuple[list, list]:
             return []
         return [
             a
-            for a in df[col].explode().unique()
+            for a in _uniq(df[col])
             if (a not in bad) and (a is not None) and (a == a)
         ]
 

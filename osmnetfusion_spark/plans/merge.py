@@ -204,15 +204,18 @@ def _an_edge(df: pd.DataFrame, main: pd.Series, uv: bool, rev_flag: bool) -> dic
 def _fold_uv_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Greedy per-uv-pair merge (p3_functions.py:700-790), group-local."""
     pdf = pdf.sort_values(["highway_rank", "osmid"], ascending=[False, True]).reset_index(drop=True)
-    # prep: '' -> NaN on scalar object columns (Link init :1503); geometry
-    # columns hold lists, which pandas.replace cannot scan
-    work = pdf.copy()
-    for c in work.columns:
-        if work[c].dtype == object and c not in ("geometry", "geom_linear", "geom_reassigned", "sp"):
-            work[c] = work[c].map(lambda v: np.nan if isinstance(v, str) and v == "" else v)
+    # '' -> null normalization (Link init :1503) happens ONCE in the JVM
+    # (merge_edges nullifs every string column before the shuffle) -- doing
+    # it here cost ~50 pandas .map calls per (tiny) group
+    work = pdf
     n = len(pdf)
     state = [""] * n
     recs: list[dict] = []
+    # plain arrays for the pairwise partner scan (a Series per pair costs
+    # ~50x the comparison on these 2-5 row groups)
+    arr_nu = work["new_u"].to_numpy()
+    arr_nv = work["new_v"].to_numpy()
+    arr_len = work["length"].to_numpy(dtype=float)
     for i in range(n):
         if state[i] == "r":
             continue
@@ -223,14 +226,14 @@ def _fold_uv_group(pdf: pd.DataFrame) -> pd.DataFrame:
             partners = None
         else:
             partners = []
+            l1 = float(arr_len[i])
             for j in range(n):
                 if j == i or state[j] == "k" or state[j] == "r":
                     continue
-                r = work.iloc[j]
-                if r.new_u == r.new_v:
+                if arr_nu[j] == arr_nv[j]:
                     state[j] = "r"
                     continue
-                l1, l2 = float(row["length"]), float(r["length"])
+                l2 = float(arr_len[j])
                 if (l1 < 1e-7) or (l2 < 1e-7):
                     partners.append(j)
                 elif max(l1 / max(l2, 1e-300), l2 / max(l1, 1e-300)) < 1.5:
@@ -295,6 +298,16 @@ def merge_edges(edges: DataFrame) -> DataFrame:
         .filter(F.col("new_u") != F.col("new_v"))
         .withColumn("__ku", F.least("new_u", "new_v"))
         .withColumn("__kv", F.greatest("new_u", "new_v"))
+    )
+    # '' -> null on every string column, codegen'd once (the reference's
+    # Link-init replace, p3_functions.py:1503); the per-group fold then
+    # skips its per-column pandas normalization entirely
+    prepped = prepped.withColumns(
+        {
+            f.name: F.nullif(F.col(f"`{f.name}`"), F.lit(""))
+            for f in prepped.schema.fields
+            if f.dataType.simpleString() == "string"
+        }
     )
     from ..operators.groupedmap import grouped_map_batched
 

@@ -133,7 +133,9 @@ def run_simplification(
     )
     # split nodes: cx/cy provisional = own coords until pass 2
     sp_nodes = sp_nodes.withColumn("cx", F.col("x")).withColumn("cy", F.col("y"))
-    nodes = nodes.unionByName(sp_nodes.select(nodes.columns))
+    # materialize: pass-2 clustering runs several actions over this union;
+    # without a checkpoint each one re-executes the step-6 split lineage
+    nodes = nodes.unionByName(sp_nodes.select(nodes.columns)).localCheckpoint()
     if metrics is not None:
         m["step6_edges"] = edges.count()
         m["step6_nodes"] = nodes.count()

@@ -534,27 +534,27 @@ def split_edges_in_buffers(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     )
     rmax = max(HIGHWAY_BUFFERS.values())
     res = h3idx.pick_res(2 * rmax)
-    disk_cells = clusters.select(
-        "merged_by", "ccx", "ccy", "disks",
+    # ONE ROW PER DISK for the cell join (an exploded row must not carry
+    # the whole cluster's disk array -- that is quadratic in cluster size),
+    # and the disk-intersects-segment reject runs as a codegen'd column
+    # expression so the Python refinement only ever sees true intersectors
+    disk_cells = nodes.select(
+        "merged_by",
+        F.col("x").alias("__dx"), F.col("y").alias("__dy"), F.col("buf_r").alias("__dr"),
+    ).withColumn(
+        "cell",
         F.explode(
-            F.array_distinct(
-                F.flatten(
-                    F.transform(
-                        "disks",
-                        lambda d: F.array(
-                            *[
-                                h3idx.cell_col(d["y"], d["x"], res) + F.lit(o)
-                                for o in [
-                                    dj * h3idx.SHIFT_J + di
-                                    for dj in (-1, 0, 1)
-                                    for di in (-1, 0, 1)
-                                ]
-                            ]
-                        ),
-                    )
-                )
+            F.array(
+                *[
+                    h3idx.cell_col(F.col("__dy"), F.col("__dx"), res) + F.lit(o)
+                    for o in [
+                        dj * h3idx.SHIFT_J + di
+                        for dj in (-1, 0, 1)
+                        for di in (-1, 0, 1)
+                    ]
+                ]
             )
-        ).alias("cell"),
+        ),
     )
     eg = edges.select(F.col("osmid").alias("eid"), "geometry")
     from ..operators.spatial import cover_segment_cells, explode_segments
@@ -563,13 +563,19 @@ def split_edges_in_buffers(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         "cell",
         F.explode(cover_segment_cells(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"), res)),
     )
-    cand = (
+    hit = (
         segs.join(disk_cells, "cell")
-        .dropDuplicates(["eid", "merged_by"])
+        .filter(
+            geo.point_segment_dist_m(
+                F.col("__dy"), F.col("__dx"),
+                F.col("ay"), F.col("ax"), F.col("by"), F.col("bx"),
+            )
+            <= F.col("__dr")
+        )
         .select("eid", "merged_by")
-        .join(eg.withColumnRenamed("osmid", "eid"), "eid")
-        .join(clusters, "merged_by")
+        .dropDuplicates(["eid", "merged_by"])
     )
+    cand = hit.join(eg.withColumnRenamed("osmid", "eid"), "eid").join(clusters, "merged_by")
 
     def find_splits(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
