@@ -108,3 +108,46 @@ def test_sessionize_stateful(spark, tmp_path):
     # newer than the final watermark legitimately stay buffered in state
     assert got, "expected at least one session to flush past the watermark"
     assert got <= oracle, f"non-oracle sessions: {sorted(got - oracle)[:5]}"
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once resume: drain, append new files, restart with the SAME
+    checkpoint -- the second drain must process only the new data and the
+    final windowed counts must equal a batch run over everything."""
+    src = str(tmp_path / "events_src3")
+    ck = str(tmp_path / "ck3")
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    first, second = batch.filter(F.col("event_id") % 2 == 0), batch.filter(
+        F.col("event_id") % 2 == 1
+    )
+    first.write.parquet(src)
+
+    def drain(qname):
+        q = (
+            SE.windowed_counts(SE.read_event_stream(spark, src), watermark="365 days")
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("complete").option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(300)
+        return {
+            (r.window_start, r.event_type): (r.n, r.sum_value)
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    got1 = drain("wc_resume_1")
+    # append the second half, restart from the same checkpoint
+    second.write.mode("append").parquet(src)
+    got2 = drain("wc_resume_2")
+
+    want_full = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in (
+            batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(F.unix_timestamp("w.start").alias("window_start"), "event_type", "n", "sum_value")
+            .collect()
+        )
+    }
+    assert got2 == want_full
+    assert got1 != want_full  # first drain really saw only half the data
