@@ -125,6 +125,7 @@ def knn1_join_segments_cellfold(
     seg_id: str = "edge_id",
     lat: str = "lat",
     lon: str = "lon",
+    broadcast_build: bool = True,
 ) -> DataFrame:
     """kNN(1) with a single map-side-combinable aggregation.
 
@@ -171,8 +172,9 @@ def knn1_join_segments_cellfold(
         .otherwise(w - (u * u) / F.col("__v"))
     )
     d = F.sqrt(F.greatest(d2, F.lit(0.0)))
+    build_side = F.broadcast(build) if broadcast_build else build
     cand = (
-        probe.join(F.broadcast(build), "cell")
+        probe.join(build_side, "cell")
         .withColumn("__d", d)
         .filter(F.col("__d") <= F.lit(float(radius_m)))
     )
@@ -196,6 +198,7 @@ def knn_join_segments(
     seg_id: str = "edge_id",
     lat: str = "lat",
     lon: str = "lon",
+    broadcast_build: bool = True,
 ) -> DataFrame:
     """kNN (<= radius_m) join of points to polyline *segments*.
 
@@ -214,11 +217,18 @@ def knn_join_segments(
 
     k=1 dispatches to :func:`knn1_join_segments_cellfold` (identical
     results, no candidate shuffle at all).
+
+    ``broadcast_build``: hint when the SEGMENTS side is known small (the
+    simplified network vs a page corpus). Pass False when the segments
+    side scales with the network (enrichment joins: layer points probe a
+    planet-sized network) -- the plain equi-join lets AQE pick the
+    broadcast side from runtime sizes.
     """
     if k == 1:
         return knn1_join_segments_cellfold(
             points, segments, radius_m,
             point_id=point_id, seg_id=seg_id, lat=lat, lon=lon,
+            broadcast_build=broadcast_build,
         )
     res = h3idx.pick_res(radius_m)
     build = segments.withColumn(
@@ -229,7 +239,7 @@ def knn_join_segments(
     )
     probe = points.withColumn("cell", h3idx.cell_col(F.col(lat), F.col(lon), res))
 
-    cand = probe.join(F.broadcast(build), "cell").withColumn(
+    cand = probe.join(F.broadcast(build) if broadcast_build else build, "cell").withColumn(
         "seg_dist_m",
         geo.point_segment_dist_m(
             F.col(lat), F.col(lon), F.col("ay"), F.col("ax"), F.col("by"), F.col("bx")

@@ -92,7 +92,7 @@ def landuse_ratio(
     # point within buffer <=> dist(point, polyline) <= buffer
     near = spatial.knn_join_segments(
         pts, segs, radius_m=point_buffer_m, k=1_000_000,
-        point_id="layer_id", seg_id="edge_id",
+        point_id="layer_id", seg_id="edge_id", broadcast_build=False,
     )
     pt_counts = near.groupBy("edge_id").agg(F.count(F.lit(1)).alias(f"{kind}_points"))
 
@@ -172,7 +172,7 @@ def landuse_ratio_all(
     )
     near = spatial.knn_join_segments(
         pts, segs, radius_m=point_buffer_m, k=1_000_000,
-        point_id="layer_id", seg_id="edge_id",
+        point_id="layer_id", seg_id="edge_id", broadcast_build=False,
     )
     pt_counts = (
         near.withColumn("__ki", kind_i)
@@ -493,6 +493,7 @@ def add_bicycle_parking(edges: DataFrame, amenities: DataFrame) -> DataFrame:
         k=1_000_000,
         point_id="amenity_id",
         seg_id="edge_id",
+        broadcast_build=False,
     ).join(amenities.select("amenity_id", "amenity"), "amenity_id")
 
     nearby = near.groupBy("edge_id").agg(
@@ -548,7 +549,8 @@ def add_pt_stops(edges: DataFrame, stops: DataFrame) -> DataFrame:
         F.concat_ws("/", "member_ref", "name").alias("stop_id"), "member_ref", "name", "lat", "lon"
     ).dropDuplicates(["stop_id"])
     snapped = spatial.knn_join_segments(
-        stops_k, segs, radius_m=30.0, k=1, point_id="stop_id", seg_id="edge_id"
+        stops_k, segs, radius_m=30.0, k=1, point_id="stop_id", seg_id="edge_id",
+        broadcast_build=False,
     ).join(stops_k.select("stop_id", "name"), "stop_id")
     per_edge = snapped.groupBy("edge_id").agg(
         F.lit(1).alias("pt_stop_on"),
@@ -567,23 +569,29 @@ def add_pt_stops(edges: DataFrame, stops: DataFrame) -> DataFrame:
 
 
 def update_idxs(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Re-densify ids (p2:604-652): nodes get positional ids (row_number
+    """Re-densify ids (p2:604-652): nodes get positional ids (dense index
     over osmid asc -- the reference uses load order, which *is* osmid-
-    sorted for osmnx frames), edges remap u/v and take positional osmid."""
-    w_n = Window.orderBy(F.col("osmid").asc())
+    sorted for osmnx frames), edges remap u/v and take positional osmid.
+
+    Positional numbering uses the distributed dense_index (range-partition
+    + offset) -- a bare ``row_number() OVER (ORDER BY ...)`` would pull the
+    whole table through one task at planet scale."""
+    from ..operators.indexing import dense_index
+
     n = (
-        nodes.withColumn("new_node_idx", (F.row_number().over(w_n) - 1).cast("long"))
+        dense_index(nodes, ["osmid"], out_col="new_node_idx")
         .withColumnRenamed("osmid", "old_osmid")
         .withColumnRenamed("new_node_idx", "osmid")
     )
     idmap = F.broadcast(n.select(F.col("old_osmid").alias("__old"), F.col("osmid").alias("__new")))
-    w_e = Window.orderBy(F.col("u").asc(), F.col("v").asc(), F.col("key").asc(), F.col("edge_id").asc())
     e = (
         edges.join(idmap, edges.u == F.col("__old"), "left")
         .withColumn("new_u", F.col("__new")).drop("__old", "__new")
         .join(idmap, edges.v == F.col("__old"), "left")
         .withColumn("new_v", F.col("__new")).drop("__old", "__new")
-        .withColumn("new_edge_idx", (F.row_number().over(w_e) - 1).cast("long"))
+    )
+    e = (
+        dense_index(e, ["u", "v", "key", "edge_id"], out_col="new_edge_idx")
         .withColumnRenamed("u", "old_u")
         .withColumnRenamed("v", "old_v")
         .withColumnRenamed("osmid", "old_osmid")

@@ -321,10 +321,14 @@ def merge_edges(edges: DataFrame) -> DataFrame:
 
 def finalize_edges(links: DataFrame) -> DataFrame:
     """Steps 12-13 (p3_simplification.py:365-416): unique g_id reindex
-    (deterministic order: main-row osmid, then direction), then swap u/v +
-    reverse geometries where g_reversed."""
-    w = Window.orderBy(F.col("__main_osmid").asc(), F.col("g_reversed").asc())
-    df = links.withColumn("g_id", (F.row_number().over(w) - 1).cast("long")).drop("__main_osmid")
+    (deterministic order: main-row osmid, then direction -- via the
+    distributed dense_index, not a single-task global window), then swap
+    u/v + reverse geometries where g_reversed."""
+    from ..operators.indexing import dense_index
+
+    df = dense_index(links, ["__main_osmid", "g_reversed"], out_col="g_id").drop(
+        "__main_osmid"
+    )
     rev = F.col("g_reversed")
     return (
         df.withColumn("__u", F.when(rev, F.col("g_v")).otherwise(F.col("g_u")))
