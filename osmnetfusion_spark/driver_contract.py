@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import h3idx
-from .functions import geo
+from .functions import geo, tags
 from .operators import dedup, similarity, spatial, textstats
 from .plans import tiles
 
@@ -1036,6 +1036,319 @@ Q_TILE_EDGES_SALTED_SQL = f"""
 """
 
 
+# ------------------------------------------------ round-1b coverage queries
+
+
+def q_clean_values(spark, sf_dir):
+    """P7 `clean` value normalization (p3_functions.py:1083-1162).
+
+    Messy OSM-style strings derived deterministically from `part`
+    ('' / '30' / "['30', '50']" / '[30.5, 31.25]' / unparseable) are
+    normalized with min/mean/max reduction; the oracle asserts the
+    semantic truth table directly from the derivation arithmetic."""
+    p = _t(spark, sf_dir, "part")
+    k, q = F.col("p_partkey"), F.col("p_size").cast("int")
+    qs, q20, q1 = q.cast("string"), (q + 20).cast("string"), (q + 1).cast("string")
+    messy = (
+        F.when(k % 5 == 0, F.lit(""))
+        .when(k % 5 == 1, qs)
+        .when(k % 5 == 2, F.concat(F.lit("['"), qs, F.lit("', '"), q20, F.lit("']")))
+        .when(k % 5 == 3, F.concat(F.lit("["), qs, F.lit(".5, "), q1, F.lit(".25]")))
+        .otherwise(F.lit("abc"))
+    )
+    base = p.select(k.alias("p_partkey"), messy.alias("messy"))
+    return base.select(
+        "p_partkey",
+        "messy",
+        F.round(tags.clean_float_col(F.col("messy"), "max"), 6).alias("v_max"),
+        F.round(tags.clean_float_col(F.col("messy"), "min"), 6).alias("v_min"),
+        F.round(tags.clean_float_col(F.col("messy"), "mean"), 6).alias("v_mean"),
+    ).orderBy("p_partkey")
+
+
+Q_CLEAN_VALUES_SQL = """
+  SELECT p_partkey,
+         CASE k WHEN 0 THEN '' WHEN 1 THEN CAST(q AS VARCHAR)
+                WHEN 2 THEN '[''' || q || ''', ''' || (q + 20) || ''']'
+                WHEN 3 THEN '[' || q || '.5, ' || (q + 1) || '.25]'
+                ELSE 'abc' END AS messy,
+         round(CAST(CASE k WHEN 1 THEN q WHEN 2 THEN q + 20 WHEN 3 THEN q + 1.25 END AS DOUBLE), 6) AS v_max,
+         round(CAST(CASE k WHEN 1 THEN q WHEN 2 THEN q WHEN 3 THEN q + 0.5 END AS DOUBLE), 6) AS v_min,
+         round(CAST(CASE k WHEN 1 THEN q WHEN 2 THEN q + 10 WHEN 3 THEN q + 0.875 END AS DOUBLE), 6) AS v_mean
+  FROM (SELECT p_partkey, p_partkey % 5 AS k, CAST(p_size AS INT) AS q FROM part) __t
+  ORDER BY p_partkey
+"""
+
+
+def q_intersection_length(spark, sf_dir):
+    """J2 polygon x line intersection-length (p2_enrichData.py:119-144):
+    metres of each supplier segment inside each derived nation rectangle,
+    via the cell-local candidate join + crossing-parameter refinement.
+    Oracle: closed-form Liang-Barsky clip against the axis-aligned rect."""
+    s = supplier_segments(spark, sf_dir)
+    r = nation_rects(spark, sf_dir).select("poly_id", "geometry")
+    out = spatial.intersection_length_join(s, r, res=PIP_RES)
+    return out.select(
+        "edge_id", "poly_id", F.round("isect_len_m", 4).alias("isect_len_m")
+    ).orderBy("edge_id", "poly_id")
+
+
+_LB_TX0 = (
+    "CASE WHEN s.bx = s.ax THEN (CASE WHEN s.ax > r.mnx AND s.ax < r.mxx THEN 0.0 ELSE 2.0 END) "
+    "ELSE least((r.mnx - s.ax) / (s.bx - s.ax), (r.mxx - s.ax) / (s.bx - s.ax)) END"
+)
+_LB_TX1 = (
+    "CASE WHEN s.bx = s.ax THEN (CASE WHEN s.ax > r.mnx AND s.ax < r.mxx THEN 1.0 ELSE -1.0 END) "
+    "ELSE greatest((r.mnx - s.ax) / (s.bx - s.ax), (r.mxx - s.ax) / (s.bx - s.ax)) END"
+)
+_LB_TY0 = (
+    "CASE WHEN s.by = s.ay THEN (CASE WHEN s.ay > r.mny AND s.ay < r.mxy THEN 0.0 ELSE 2.0 END) "
+    "ELSE least((r.mny - s.ay) / (s.by - s.ay), (r.mxy - s.ay) / (s.by - s.ay)) END"
+)
+_LB_TY1 = (
+    "CASE WHEN s.by = s.ay THEN (CASE WHEN s.ay > r.mny AND s.ay < r.mxy THEN 1.0 ELSE -1.0 END) "
+    "ELSE greatest((r.mny - s.ay) / (s.by - s.ay), (r.mxy - s.ay) / (s.by - s.ay)) END"
+)
+Q_ISECT_LEN_SQL = f"""
+  WITH segs AS ({SUPPLIER_SEGMENTS_SQL}), rects AS ({NATION_RECTS_SQL}),
+  j AS (
+    SELECT s.edge_id, r.poly_id,
+           greatest({_LB_TX0}, {_LB_TY0}, 0.0) AS t0,
+           least({_LB_TX1}, {_LB_TY1}, 1.0) AS t1,
+           {geo.haversine_sql('s.ay', 's.ax', 's.by', 's.bx')} AS seg_len
+    FROM segs s CROSS JOIN rects r)
+  SELECT edge_id, poly_id, round(sum((t1 - t0) * seg_len), 4) AS isect_len_m
+  FROM j WHERE t1 > t0
+  GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_amenity_radius(spark, sf_dir):
+    """J6 kNN(1) + radius join (p2_enrichData.py:495-557): per edge, how
+    many doc 'amenities' lie within 200 m (`amenity_nearby`) and how many
+    snap to it as their single nearest edge (`amenity_on`)."""
+    p = doc_points(spark, sf_dir).select("doc_id", "lat", "lon")
+    s = supplier_segments(spark, sf_dir)
+    pairs = spatial.knn_join_segments(
+        p, s, radius_m=200.0, k=1_000_000, point_id="doc_id", seg_id="edge_id"
+    )
+    return (
+        pairs.groupBy("edge_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearby"),
+            F.sum(F.when(F.col("knn_rank") == 1, 1).otherwise(0)).alias("n_on"),
+        )
+        .orderBy("edge_id")
+    )
+
+
+_DIST6 = geo.point_segment_dist_sql("p.lat", "p.lon", "s.ay", "s.ax", "s.by", "s.bx")
+Q_AMENITY_RADIUS_SQL = f"""
+  WITH pr AS (
+    SELECT p.doc_id, s.edge_id,
+           row_number() OVER (PARTITION BY p.doc_id
+                              ORDER BY {_DIST6} ASC, s.edge_id ASC) AS rn
+    FROM ({DOC_POINTS_SQL}) p CROSS JOIN ({SUPPLIER_SEGMENTS_SQL}) s
+    WHERE {_DIST6} <= 200.0)
+  SELECT edge_id, count(*) AS n_nearby,
+         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_on
+  FROM pr GROUP BY 1 ORDER BY 1
+"""
+
+
+PARKING_VALS = [
+    "lane", "street_side", "no", "half_on_kerb", "fire_lane", "no_stopping",
+    "separate",
+]
+
+
+def q_parking_union(spark, sf_dir):
+    """A9 parking set-union fold (p3_functions.py:1606-1624): distinct
+    parking values per group minus {no, no_stopping, fire_lane}, serialized
+    with the reference's saved-list format."""
+    p = _t(spark, sf_dir, "part")
+    val = F.element_at(
+        F.array(*[F.lit(v) for v in PARKING_VALS]),
+        (F.col("p_partkey") % 7 + 1).cast("int"),
+    )
+    base = p.select((F.col("p_partkey") % 499).alias("grp"), val.alias("parking"))
+    return (
+        base.groupBy("grp")
+        .agg(
+            tags.py_list_string(tags.parking_union_agg(F.col("parking"))).alias(
+                "parking_set"
+            )
+        )
+        .orderBy("grp")
+    )
+
+
+_PARK_ARR = "['" + "', '".join(PARKING_VALS) + "']"
+Q_PARKING_UNION_SQL = f"""
+  WITH b AS (
+    SELECT p_partkey % 499 AS grp,
+           ({_PARK_ARR})[CAST(p_partkey % 7 AS INT) + 1] AS parking
+    FROM part),
+  g AS (
+    SELECT grp,
+           list_sort(list_distinct(list(parking)
+             FILTER (parking NOT IN ('no', 'no_stopping', 'fire_lane', '')))) AS l
+    FROM b GROUP BY grp)
+  SELECT grp,
+         CASE WHEN l IS NULL OR len(l) = 0 THEN '[]'
+              ELSE '[''' || array_to_string(l, ''', ''') || ''']' END AS parking_set
+  FROM g ORDER BY grp
+"""
+
+
+def q_frequency_filter(spark, sf_dir):
+    """S11 frequency filter (p1_getFurtherOSMData.py:236-238): keep rows
+    whose (user, event_type) occurs more than 14 times, carrying the count
+    -- window count over the partition key, no self-join."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type")
+    return (
+        e.withColumn("n_occ", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_occ") > 14)
+        .select("event_id", "user_id", "event_type", "n_occ")
+        .orderBy("event_id")
+    )
+
+
+Q_FREQUENCY_FILTER_SQL = """
+  SELECT event_id, user_id, event_type, n_occ FROM (
+    SELECT event_id, user_id, event_type,
+           count(*) OVER (PARTITION BY user_id, event_type) AS n_occ
+    FROM events) __t
+  WHERE n_occ > 14 ORDER BY event_id
+"""
+
+
+def q_id_densify(spark, sf_dir):
+    """J10 id re-densification (p2_enrichData.py:604-652): nodes get dense
+    positional ids (row_number over a deterministic total order -- the
+    node table is the small dim side, so one global window is acceptable;
+    at planet scale this becomes zipWithIndex-per-partition + offsets),
+    edge endpoints remapped via two broadcast joins."""
+    s = _t(spark, sf_dir, "supplier")
+    old = (F.col("s_suppkey") * 7 + 3).alias("old_id")
+    nodes = s.select(old).withColumn(
+        "new_id", F.row_number().over(Window.orderBy("old_id")) - 1
+    )
+    edges = s.select(
+        (F.col("s_suppkey") * 7 + 3).alias("old_u"),
+        (((F.col("s_suppkey") * 13) % 100) * 7 + 3).alias("old_v"),
+    )
+    nu = nodes.select(F.col("old_id").alias("old_u"), F.col("new_id").alias("new_u"))
+    nv = nodes.select(F.col("old_id").alias("old_v"), F.col("new_id").alias("new_v"))
+    return (
+        edges.join(F.broadcast(nu), "old_u")
+        .join(F.broadcast(nv), "old_v")
+        .select("old_u", "old_v", "new_u", "new_v")
+        .orderBy("old_u")
+    )
+
+
+Q_ID_DENSIFY_SQL = """
+  WITH nodes AS (
+    SELECT s_suppkey * 7 + 3 AS old_id,
+           row_number() OVER (ORDER BY s_suppkey * 7 + 3) - 1 AS new_id
+    FROM supplier),
+  edges AS (
+    SELECT s_suppkey * 7 + 3 AS old_u, ((s_suppkey * 13) % 100) * 7 + 3 AS old_v
+    FROM supplier)
+  SELECT e.old_u, e.old_v, nu.new_id AS new_u, nv.new_id AS new_v
+  FROM edges e
+  JOIN nodes nu ON nu.old_id = e.old_u
+  JOIN nodes nv ON nv.old_id = e.old_v
+  ORDER BY e.old_u
+"""
+
+
+def q_connected_components(spark, sf_dir):
+    """G3 distributed connected components (p3_functions.py:417-423) on a
+    deterministic graph over supplier segment endpoints; component label =
+    min member id. Oracle: recursive-CTE min-label transitive closure."""
+    from .plans import simplify
+
+    s = supplier_segments(spark, sf_dir)
+    n = s.count()  # dim-table cardinality (driver-side, small)
+    a = s.select(
+        F.col("edge_id").alias("ia"), F.col("ax").alias("xa"), F.col("ay").alias("ya")
+    ).withColumn("ib", (F.col("ia") * 7 + 3) % n)
+    pairs = (
+        a.filter(F.col("ia") != F.col("ib"))
+        .join(
+            s.select(
+                F.col("edge_id").alias("ib"),
+                F.col("ax").alias("xb"),
+                F.col("ay").alias("yb"),
+            ),
+            "ib",
+        )
+        .select("ia", "ib", "xa", "ya", "xb", "yb")
+    )
+    return simplify.connected_components(pairs, spark).orderBy("osmid")
+
+
+Q_CONNECTED_COMPONENTS_SQL = """
+  WITH RECURSIVE pr AS (
+    SELECT s_suppkey AS ia,
+           (s_suppkey * 7 + 3) % (SELECT count(*) FROM supplier) AS ib
+    FROM supplier
+    WHERE s_suppkey != (s_suppkey * 7 + 3) % (SELECT count(*) FROM supplier)),
+  e AS (SELECT ia AS a, ib AS b FROM pr UNION SELECT ib, ia FROM pr),
+  n AS (SELECT DISTINCT a AS node FROM e),
+  reach(node, lbl) AS (
+    SELECT node, node FROM n
+    UNION
+    SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node)
+  SELECT node AS osmid, min(lbl) AS component
+  FROM reach GROUP BY node ORDER BY osmid
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-k (the ANN scale path): hyperplane
+    sign signatures bucket the corpus once; each query probes its own
+    bucket plus all hamming-1 neighbors. Deterministic shader-noise
+    hyperplanes make the oracle reproducible in SQL."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.lsh_bucket_topk(e, q, k=5, planes=6).orderBy(
+        "query_id", "rank"
+    )
+
+
+_LSH_DOT = (
+    "list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * "
+    "(sin((p * 64 + (i - 1)) * 12.9898 + 1.0) * 43758.5453 "
+    "- floor(sin((p * 64 + (i - 1)) * 12.9898 + 1.0) * 43758.5453) - 0.5)))"
+)
+_LSH_COS = similarity.cosine_sql("q.v", "c.v")
+Q_ANN_LSH_SQL = f"""
+  WITH vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings),
+  sg AS (
+    SELECT vec_id, v,
+           (SELECT sum(CASE WHEN {_LSH_DOT} > 0
+                            THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+            FROM range(0, 6) t(p)) AS bucket
+    FROM vecs)
+  SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_LSH_COS}, 6) AS cos_sim,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_LSH_COS}, 6) DESC, c.vec_id ASC) AS rank
+    FROM sg q JOIN sg c
+      ON (c.bucket = q.bucket OR xor(c.bucket, q.bucket) IN (1, 2, 4, 8, 16, 32))
+     AND q.vec_id != c.vec_id
+    WHERE q.vec_id < 10) __t
+  WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1072,4 +1385,12 @@ QUERIES = {
     "q_reverse_edge_augment": (q_reverse_edge_augment, Q_REVERSE_EDGE_SQL),
     "q_tile_vectorize": (q_tile_vectorize, Q_TILE_VECTORIZE_SQL),
     "q_tile_edges_salted": (q_tile_edges_salted, Q_TILE_EDGES_SALTED_SQL),
+    "q_clean_values": (q_clean_values, Q_CLEAN_VALUES_SQL),
+    "q_intersection_length": (q_intersection_length, Q_ISECT_LEN_SQL),
+    "q_amenity_radius": (q_amenity_radius, Q_AMENITY_RADIUS_SQL),
+    "q_parking_union": (q_parking_union, Q_PARKING_UNION_SQL),
+    "q_frequency_filter": (q_frequency_filter, Q_FREQUENCY_FILTER_SQL),
+    "q_id_densify": (q_id_densify, Q_ID_DENSIFY_SQL),
+    "q_connected_components": (q_connected_components, Q_CONNECTED_COMPONENTS_SQL),
+    "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
 }

@@ -53,3 +53,25 @@ def test_salted_fold_two_phases(spark):
     plan = _plan(spark, "q_tile_edges_salted")
     # phase 1 groups by (tile, salt), phase 2 by tile: two agg exchanges
     assert "xxhash64" in plan and "pmod" in plan
+
+
+def test_radius_join_is_cell_local(spark):
+    # J6: 200 m radius join must be an equi-join on the cover cell, never
+    # a cartesian point x segment product
+    plan = _plan(spark, "q_amenity_radius")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_intersection_length_is_cell_local(spark):
+    plan = _plan(spark, "q_intersection_length")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_registry_integrity():
+    # every contract query carries a DuckDB oracle twin (the driver's
+    # correctness gate); rows-only fallbacks would show up as None here
+    for name, (fn, sql) in DC.QUERIES.items():
+        assert callable(fn), name
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
