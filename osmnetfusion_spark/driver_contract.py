@@ -1349,6 +1349,70 @@ Q_ANN_LSH_SQL = f"""
 """
 
 
+def q_split_curves(spark, sf_dir):
+    """G1 splitCurves (p3_functions.py:99-234) on derived 3-point
+    polylines: supplier segments bent at a deterministic midpoint offset.
+    With one interior point the reference's rolling angle scan reduces to
+    a single test -- split iff |heading2 - heading1| > 60 deg (raw degree
+    difference, no wraparound) -- and the sub-edge/node id arithmetic
+    (CURVE_ID_BASE + osmid*100 + k) is reproduced by the oracle exactly."""
+    from .plans import simplify
+
+    s = supplier_segments(spark, sf_dir)
+    k = F.col("edge_id")
+    mx = (F.col("ax") + F.col("bx")) * 0.5 + ((k * 53) % 100 - 50).cast(
+        "double"
+    ) / 50.0 * 0.0009
+    my = (F.col("ay") + F.col("by")) * 0.5 + ((k * 59) % 100 - 50).cast(
+        "double"
+    ) / 50.0 * 0.0009
+    edges = s.select(
+        k.alias("osmid"),
+        k.alias("u"),
+        (k + 100000).alias("v"),
+        F.array(
+            F.array("ax", "ay"), F.array(mx, my), F.array("bx", "by")
+        ).alias("geometry"),
+        F.lit(0.0).alias("length"),
+    )
+    out = simplify.split_curves(edges)
+    return out.select(
+        "osmid", "u", "v",
+        F.round(F.element_at("geometry", 1)[0], 6).alias("x0"),
+        F.round(F.element_at("geometry", 1)[1], 6).alias("y0"),
+        F.round(F.element_at("geometry", -1)[0], 6).alias("x1"),
+        F.round(F.element_at("geometry", -1)[1], 6).alias("y1"),
+    ).orderBy("osmid")
+
+
+Q_SPLIT_CURVES_SQL = f"""
+  WITH base AS (
+    SELECT CAST(edge_id AS BIGINT) AS k, ax, ay, bx, by,
+           (ax + bx) * 0.5 + ((edge_id * 53) % 100 - 50) / 50.0 * 0.0009 AS mx,
+           (ay + by) * 0.5 + ((edge_id * 59) % 100 - 50) / 50.0 * 0.0009 AS my
+    FROM ({SUPPLIER_SEGMENTS_SQL}) __s),
+  dec AS (
+    SELECT *,
+           abs(degrees(atan2(by - my, bx - mx))
+               - degrees(atan2(my - ay, mx - ax))) > 60.0 AS split,
+           1000000000 + k * 100 AS idbase
+    FROM base)
+  SELECT k AS osmid, k AS u, k + 100000 AS v,
+         round(ax, 6) AS x0, round(ay, 6) AS y0,
+         round(bx, 6) AS x1, round(by, 6) AS y1
+  FROM dec WHERE NOT split
+  UNION ALL
+  SELECT idbase, k, idbase,
+         round(ax, 6), round(ay, 6), round(mx, 6), round(my, 6)
+  FROM dec WHERE split
+  UNION ALL
+  SELECT idbase + 1, idbase, k + 100000,
+         round(mx, 6), round(my, 6), round(bx, 6), round(by, 6)
+  FROM dec WHERE split
+  ORDER BY osmid
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1393,4 +1457,5 @@ QUERIES = {
     "q_id_densify": (q_id_densify, Q_ID_DENSIFY_SQL),
     "q_connected_components": (q_connected_components, Q_CONNECTED_COMPONENTS_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
+    "q_split_curves": (q_split_curves, Q_SPLIT_CURVES_SQL),
 }
