@@ -1,11 +1,14 @@
 """spark-submit entry point.
 
-Launch shape on a real cluster (north rule):
+Launch shape on a real cluster (north rule) -- verified end-to-end in
+this sandbox from a directory outside the repo (the package travels only
+via the archive):
 
-    zip -r onf_spark.zip osmnetfusion_spark/
-    spark-submit --py-files onf_spark.zip \\
+    python tools/make_pyfiles_zip.py                 # -> /tmp/onf_spark.zip
+    spark-submit --master <cluster-manager> \\
+        --py-files /tmp/onf_spark.zip \\
         --conf spark.sql.shuffle.partitions=<2-3x total cores> \\
-        -m osmnetfusion_spark.cli pipeline --scale 4 \\
+        tools/submit_main.py pipeline --scale 4 \\
         --warehouse /warehouse/onf --resume
 
 Subcommands:

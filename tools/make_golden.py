@@ -1,0 +1,83 @@
+"""Generate the committed golden parquet fixtures (north star: output
+"verified by pytest against golden parquet fixtures").
+
+Runs the scale-1 synthetic city through the full enrichment +
+simplification pipeline, snaps a deduped 2,000-page corpus onto the
+simplified edges, and rolls up per-tile edge assignments; writes the three
+outputs to tests/golden/. Every input is a seeded pure function, so the
+fixtures pin the engine's semantics: any change to clustering order,
+merge folds, tag serialization, id arithmetic, or tile assignment shows
+up as a golden diff.
+
+Usage: PYTHONPATH=/root/repo python tools/make_golden.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden")
+
+
+def build_outputs(spark):
+    """(nodes_pdf, edges_pdf, tiles_pdf) canonical pandas frames."""
+    from pyspark.sql import functions as F
+
+    from osmnetfusion_spark import synth
+    from osmnetfusion_spark.operators import spatial
+    from osmnetfusion_spark.plans import pages as PG
+    from osmnetfusion_spark.plans import pipeline, tiles
+
+    city = synth.synthetic_city(1)
+    tables = synth.city_to_spark(spark, city)
+    nodes, edges = pipeline.run_full(spark, tables)
+
+    pg = PG.dedupe_latest(synth.pages(spark, 2000, city_scale=1))
+    segs = spatial.explode_segments(
+        edges.select(F.col("g_id").alias("edge_id"), F.col("g_geo_rea").alias("geometry"))
+    ).select("edge_id", "seg_idx", "ax", "ay", "bx", "by")
+    snap = PG.snap_pages_to_edges(pg, segs, radius_m=200.0)
+    tiled = tiles.tile_edge_density(snap, pg, segs)
+
+    npdf = canonicalize(nodes.toPandas(), key=["g_id"])
+    epdf = canonicalize(
+        edges.drop("g_geo_rea", "g_geo_lin").toPandas(), key=["g_id"]
+    )
+    tpdf = canonicalize(tiled.toPandas(), key=["tile_id", "edge_id"])
+    return npdf, epdf, tpdf
+
+
+def canonicalize(pdf, key):
+    """Sort by key, reset index, round float columns to 6 dp (absorbs
+    last-ulp libm drift so the fixture is machine-portable)."""
+    import numpy as np
+
+    pdf = pdf.sort_values(key).reset_index(drop=True)
+    for c in pdf.columns:
+        if pdf[c].dtype == np.float64:
+            pdf[c] = pdf[c].round(6)
+    return pdf
+
+
+def main():
+    from osmnetfusion_spark.session import get_session
+
+    spark = get_session(app_name="make-golden")
+    spark.sparkContext.setLogLevel("ERROR")
+    npdf, epdf, tpdf = build_outputs(spark)
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    npdf.to_parquet(os.path.join(GOLDEN_DIR, "simplified_nodes.parquet"), index=False)
+    epdf.to_parquet(os.path.join(GOLDEN_DIR, "simplified_edges.parquet"), index=False)
+    tpdf.to_parquet(os.path.join(GOLDEN_DIR, "tile_edges.parquet"), index=False)
+    print(
+        f"golden written: nodes={len(npdf)} edges={len(epdf)} tiles={len(tpdf)}"
+        f" -> {GOLDEN_DIR}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
