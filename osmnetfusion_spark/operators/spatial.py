@@ -48,11 +48,34 @@ def fan_out_probe(df: DataFrame, key: str) -> DataFrame:
     it hash-partitions on the entity key, the downstream per-entity
     aggregation/window needs no second exchange. No-op at web scale, where
     the probe already has thousands of partitions.
+
+    WARNING: never probe `df.rdd.getNumPartitions()` here -- under AQE,
+    converting to an RDD FINALIZES the adaptive plan, which materializes
+    its shuffle query stages: a silent extra job that re-executes the
+    whole probe subplan (measured: one hidden job per join, and the
+    two-parallelism scaling evidence collapsed from 0.80 to 0.28 until it
+    was removed). The small-scan test below reads only file metadata.
     """
     spark = df.sparkSession
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() * 2 >= target:
+    try:
+        files = df.inputFiles()
+    except Exception:
         return df
+    # non-file sources (range/createDataFrame/post-shuffle) inherit the
+    # session's parallelism already; only a small file scan needs fan-out
+    if not files or len(files) >= target:
+        return df
+    import os as _os
+
+    total = 0
+    for f in files[:64]:
+        try:
+            total += _os.path.getsize(f[7:] if f.startswith("file:") else f)
+        except OSError:
+            return df
+    if total > (128 << 20):
+        return df  # big scan: the file splitter already parallelizes it
     return df.repartition(target, F.col(key))
 
 
