@@ -27,17 +27,33 @@ def dedupe_latest(pages: DataFrame) -> DataFrame:
     """Latest crawl wins per url; deterministic tie-break on (warc_ts, text).
 
     The reference has no streaming/dedupe analog (its inputs are single
-    snapshots); this is the standard latest-snapshot-per-key pattern:
-    ``row_number`` over ``warc_ts desc`` -- one shuffle on url.
+    snapshots); this is the standard latest-snapshot-per-key pattern.
+
+    Implemented as ``min(struct(-ts, text, <payload...>))`` rather than a
+    ``row_number`` window: lexicographic struct-min IS the selection rule,
+    and a hash aggregation (a) map-side-combines duplicate urls BEFORE the
+    exchange -- at web scale recrawled urls collapse on the mappers instead
+    of shipping every snapshot's html bytes through the shuffle -- and (b)
+    needs no per-partition sort of the full payload afterwards. Trailing
+    payload fields in the comparator only fire on full (ts, text) ties,
+    where the window version's pick was partition-order-dependent; this is
+    strictly more deterministic.
     """
-    w = Window.partitionBy("url").orderBy(
-        F.col("warc_ts").desc(), F.col("text").asc()
+    cols = pages.columns
+    rest = [c for c in cols if c not in ("url", "warc_ts", "text")]
+    sel = F.struct(
+        (-F.unix_micros(F.col("warc_ts"))).alias("k_ts"),
+        F.col("text").alias("k_text"),
+        *[F.col(c).alias(f"k_{c}") for c in rest],
+        F.col("warc_ts").alias("k_orig_ts"),
     )
-    return (
-        pages.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    best = pages.groupBy("url").agg(F.min(sel).alias("__b"))
+    return best.select(
+        "url",
+        F.col("__b.k_orig_ts").alias("warc_ts"),
+        F.col("__b.k_text").alias("text"),
+        *[F.col(f"__b.k_{c}").alias(c) for c in rest],
+    ).select(cols)
 
 
 def extract_text(pages: DataFrame, html_col: str = "html") -> DataFrame:

@@ -22,6 +22,24 @@ def test_dedupe_latest_keeps_newest(spark):
     assert joined.filter(F.col("warc_ts") != F.col("mx")).count() == 0
 
 
+def test_dedupe_latest_matches_window_formulation(spark):
+    """The combiner-friendly min-struct dedupe must select exactly the rows
+    the reference row_number-over-(warc_ts desc, text asc) window would."""
+    from pyspark.sql import Window
+
+    pg = synth.pages(spark, 3000)
+    new = P.dedupe_latest(pg)
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc(), F.col("text").asc())
+    old = pg.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    cols = pg.columns
+    chk = lambda df: df.select(  # noqa: E731
+        F.expr("bit_xor(xxhash64(" + ",".join(cols) + "))").alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    a, b = chk(new), chk(old)
+    assert (a.h, a.n) == (b.h, b.n)
+
+
 def test_text_byte_identity_through_pipeline(spark):
     pg = P.dedupe_latest(synth.pages(spark, 800))
     before = synth.text_sha256(pg)
