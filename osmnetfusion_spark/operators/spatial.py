@@ -169,6 +169,7 @@ def knn1_join_segments_cellfold(
     lat: str = "lat",
     lon: str = "lon",
     broadcast_build: bool = True,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """kNN(1) with a single map-side-combinable aggregation.
 
@@ -203,7 +204,8 @@ def knn1_join_segments_cellfold(
         .withColumn("__v", F.col("__abx") * F.col("__abx") + F.col("__aby") * F.col("__aby"))
     )
     probe = fan_out_probe(
-        points.select(point_id, lat, lon), point_id
+        points.select(point_id, lat, lon, *[c for c in carry if c not in (point_id, lat, lon)]),
+        point_id,
     ).withColumn("cell", h3idx.cell_col(F.col(lat), F.col(lon), res))
     apx = (F.col(lon) - F.col("ax")) * F.col("__kx")
     apy = (F.col(lat) - F.col("ay")) * m
@@ -221,14 +223,25 @@ def knn1_join_segments_cellfold(
         .withColumn("__d", d)
         .filter(F.col("__d") <= F.lit(float(radius_m)))
     )
+    carry_out = [c for c in carry if c != point_id]
     best = cand.groupBy(point_id).agg(
-        F.min(F.struct(F.col("__d").alias("d"), F.col("__e").alias("be"))).alias("__best")
+        F.min(
+            F.struct(
+                F.col("__d").alias("d"),
+                F.col("__e").alias("be"),
+                # carry columns are functions of the point -- identical on
+                # every candidate row, so they ride the fold for free and
+                # the caller skips a full re-join on point_id downstream
+                *[F.col(c).alias(f"c_{c}") for c in carry_out],
+            )
+        ).alias("__best")
     )
     return best.select(
         F.col(point_id),
         F.col("__best.be").alias(seg_id),
         F.col("__best.d").alias("dist_m"),
         F.lit(1).alias("knn_rank"),
+        *[F.col(f"__best.c_{c}").alias(c) for c in carry_out],
     )
 
 
@@ -242,6 +255,7 @@ def knn_join_segments(
     lat: str = "lat",
     lon: str = "lon",
     broadcast_build: bool = True,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """kNN (<= radius_m) join of points to polyline *segments*.
 
@@ -271,8 +285,9 @@ def knn_join_segments(
         return knn1_join_segments_cellfold(
             points, segments, radius_m,
             point_id=point_id, seg_id=seg_id, lat=lat, lon=lon,
-            broadcast_build=broadcast_build,
+            broadcast_build=broadcast_build, carry=carry,
         )
+    assert not carry, "carry is only supported on the k=1 cellfold path"
     res = h3idx.pick_res(radius_m)
     build = segments.withColumn(
         "cell",
@@ -309,6 +324,7 @@ def knn_join_segments_adaptive(
     seg_id: str = "edge_id",
     lat: str = "lat",
     lon: str = "lon",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Multi-resolution kNN snap: escalate unmatched points to wider radii.
 
@@ -327,7 +343,7 @@ def knn_join_segments_adaptive(
     for r in radii:
         matched = knn_join_segments(
             remaining, segments, radius_m=r, k=1,
-            point_id=point_id, seg_id=seg_id, lat=lat, lon=lon,
+            point_id=point_id, seg_id=seg_id, lat=lat, lon=lon, carry=carry,
         ).localCheckpoint()
         outs.append(matched)
         remaining = remaining.join(matched.select(point_id), point_id, "left_anti")

@@ -88,8 +88,11 @@ def snap_pages_to_edges(
     """Cell-local kNN(1) snap of pages to simplified-edge segments (J15).
 
     ``edge_segments`` comes from :func:`..operators.spatial.explode_segments`
-    over the simplified edges. Returns ``(url, edge_id, dist_m)``; ties
-    broken by ``(dist_m, edge_id)`` for run-to-run determinism.
+    over the simplified edges. Returns ``(url, edge_id, dist_m, lat, lon)``;
+    ties broken by ``(dist_m, edge_id)`` for run-to-run determinism. The
+    page coordinates ride the kNN fold (``carry``) so downstream tiling
+    never re-joins the page corpus on url -- at 10^12 pages that re-join
+    was a second full-table shuffle for two doubles.
 
     Uses the multi-resolution cascade (fine cells first, escalate the
     unmatched tail) -- exact for k=1, and immune to the dense-cell
@@ -99,5 +102,5 @@ def snap_pages_to_edges(
     radii = tuple(r for r in ladder if r < radius_m) + (radius_m,)
     return spatial.knn_join_segments_adaptive(
         pages, edge_segments, radii=radii, k=1,
-        point_id="url", seg_id="edge_id",
-    ).select("url", "edge_id", "dist_m")
+        point_id="url", seg_id="edge_id", carry=("lat", "lon"),
+    ).select("url", "edge_id", "dist_m", "lat", "lon")

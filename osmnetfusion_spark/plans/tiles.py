@@ -60,9 +60,13 @@ def tile_edge_density(
     pages located in the tile and assigned to that edge, edge_density =
     edges crossing the tile.
     """
-    located = pages_snapped.join(
-        pages.select("url", "lat", "lon"), "url"
-    ).withColumn("tile_id", tile_of(F.col("lat"), F.col("lon"), res))
+    if "lat" in pages_snapped.columns and "lon" in pages_snapped.columns:
+        # coordinates rode the kNN fold (snap_pages_to_edges carry) --
+        # no re-join of the page corpus needed
+        located = pages_snapped
+    else:
+        located = pages_snapped.join(pages.select("url", "lat", "lon"), "url")
+    located = located.withColumn("tile_id", tile_of(F.col("lat"), F.col("lon"), res))
     per_tile_edge = located.groupBy("tile_id", "edge_id").agg(
         F.count(F.lit(1)).alias("page_count")
     )
