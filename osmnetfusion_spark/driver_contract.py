@@ -1413,6 +1413,94 @@ Q_SPLIT_CURVES_SQL = f"""
 """
 
 
+def q_cycleway_precedence(spark, sf_dir):
+    """A8 cycleway-attributes precedence fold (p3_functions.py:1988-2021):
+    left/right *lane* tags beat side tags beat plain cycleway/both, folded
+    per group through the engine's batched grouped-map (the same code path
+    step 11 uses). Derivation avoids the 'no'-removal micro-rule (covered
+    by the golden pipeline) so the oracle is the pure precedence cascade."""
+    import pandas as pd
+
+    from .functions import folds
+    from .operators.groupedmap import grouped_map_batched
+    from .plans.merge import py_list_str
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+
+    def pick(mult, mod, mapping):
+        e = F.lit("")
+        for r, v in mapping.items():
+            e = F.when((k * mult) % mod == r, F.lit(v)).otherwise(e)
+        return e
+
+    base = p.select(
+        (k % 331).alias("grp"),
+        pick(7, 11, {0: "advisory", 1: "exclusive"}).alias("cycleway:left:lane"),
+        pick(11, 13, {0: "track"}).alias("cycleway:right:lane"),
+        pick(13, 7, {0: "advisory", 1: "track"}).alias("cycleway:left"),
+        pick(17, 5, {0: "exclusive"}).alias("cycleway:right"),
+        pick(19, 6, {0: "lane"}).alias("cycleway"),
+        pick(23, 9, {0: "track"}).alias("cycleway:both"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{
+                "grp": int(pdf["grp"].iloc[0]),
+                "b_attribut": py_list_str(folds.cycleway_attributes_py(pdf)),
+            }]
+        )
+
+    return grouped_map_batched(base, ["grp"], fold, "grp long, b_attribut string").orderBy("grp")
+
+
+_CW_CASES = """
+  SELECT p_partkey % 331 AS grp,
+         CASE (p_partkey * 7) % 11 WHEN 0 THEN 'advisory' WHEN 1 THEN 'exclusive' ELSE '' END AS cll,
+         CASE (p_partkey * 11) % 13 WHEN 0 THEN 'track' ELSE '' END AS crl,
+         CASE (p_partkey * 13) % 7 WHEN 0 THEN 'advisory' WHEN 1 THEN 'track' ELSE '' END AS cl,
+         CASE (p_partkey * 17) % 5 WHEN 0 THEN 'exclusive' ELSE '' END AS cr,
+         CASE (p_partkey * 19) % 6 WHEN 0 THEN 'lane' ELSE '' END AS cw,
+         CASE (p_partkey * 23) % 9 WHEN 0 THEN 'track' ELSE '' END AS cb
+  FROM part
+"""
+Q_CYCLEWAY_PRECEDENCE_SQL = f"""
+  WITH b AS ({_CW_CASES}),
+  g AS (
+    SELECT grp,
+           list_distinct(list(cll) FILTER (cll <> '')) AS a1,
+           list_distinct(list(crl) FILTER (crl <> '')) AS a2,
+           list_distinct(list(cl) FILTER (cl <> '')) AS a3,
+           list_distinct(list(cr) FILTER (cr <> '')) AS a4,
+           list_distinct(list(cw) FILTER (cw <> '')) AS a5a,
+           list_distinct(list(cb) FILTER (cb <> '')) AS a5b
+    FROM b GROUP BY grp),
+  f AS (
+    SELECT grp,
+           list_sort(list_distinct(
+             list_concat(
+               list_concat(
+                 list_concat(
+                   list_transform(coalesce(a1, []), v -> 'left_lane_' || v),
+                   list_transform(coalesce(a2, []), v -> 'right_lane_' || v)),
+                 list_concat(
+                   CASE WHEN len(coalesce(a1, [])) = 0
+                        THEN list_transform(coalesce(a3, []), v -> 'left_' || v) ELSE [] END,
+                   CASE WHEN len(coalesce(a2, [])) = 0
+                        THEN list_transform(coalesce(a4, []), v -> 'right_' || v) ELSE [] END)),
+               CASE WHEN (len(coalesce(a1, [])) = 0 AND len(coalesce(a3, [])) = 0)
+                      OR (len(coalesce(a2, [])) = 0 AND len(coalesce(a4, [])) = 0)
+                    THEN list_concat(coalesce(a5a, []), coalesce(a5b, [])) ELSE [] END)
+           )) AS l
+    FROM g)
+  SELECT grp,
+         CASE WHEN len(l) = 0 THEN '[]'
+              ELSE '[''' || array_to_string(l, ''', ''') || ''']' END AS b_attribut
+  FROM f ORDER BY grp
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1458,4 +1546,5 @@ QUERIES = {
     "q_connected_components": (q_connected_components, Q_CONNECTED_COMPONENTS_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_split_curves": (q_split_curves, Q_SPLIT_CURVES_SQL),
+    "q_cycleway_precedence": (q_cycleway_precedence, Q_CYCLEWAY_PRECEDENCE_SQL),
 }
