@@ -474,37 +474,64 @@ def pip_join(
 # ------------------------------------------- segment x polygon intersection
 
 
-def _clip_len_batch(pdf: pd.DataFrame) -> np.ndarray:
+def _clip_len_batch(pdf: pd.DataFrame, poly_key: str = "__pkey") -> np.ndarray:
     """Length (m) of each segment's intersection with its candidate polygon.
 
     Crossing-parameter method: collect all t in [0,1] where the segment
     crosses a polygon edge, sort, then sum sub-intervals whose midpoint is
-    inside (ray cast). Exact for simple polygons, vectorized over the
-    polygon's edges per candidate row.
+    inside (ray cast). Exact for simple polygons.
+
+    Vectorized PER POLYGON: one Python iteration per distinct polygon in
+    the batch, all of its candidate segments evaluated as (n_rows x
+    n_edges) numpy broadcasts. Candidate batches repeat few polygons many
+    times (every edge near a land-use polygon is a row), so this flips the
+    loop count from O(candidates) to O(polygons). Element arithmetic is
+    identical to the per-row formulation; duplicate crossing parameters
+    contribute exactly-zero-width intervals, so results are bit-identical
+    to the previous unique()-based scan.
     """
     out = np.zeros(len(pdf), dtype=np.float64)
+    if not len(pdf):
+        return out
     ax = pdf["ax"].to_numpy(); ay = pdf["ay"].to_numpy()
     bx = pdf["bx"].to_numpy(); by = pdf["by"].to_numpy()
-    for r in range(len(pdf)):
-        poly = np.array([list(c) for c in pdf["__poly"].iloc[r]], dtype=np.float64)
+    seg_len = geo.haversine_np(ay, ax, by, bx)
+    keys = pdf[poly_key].to_numpy()
+    for key in pd.unique(keys):
+        pos = np.flatnonzero(keys == key)
+        poly = np.array(
+            [list(c) for c in pdf["__poly"].iloc[pos[0]]], dtype=np.float64
+        )
         if len(poly) >= 2 and (poly[0] == poly[-1]).all():
             poly = poly[:-1]
         px0, py0 = poly[:, 0], poly[:, 1]
         px1, py1 = np.roll(px0, -1), np.roll(py0, -1)
-        dx, dy = bx[r] - ax[r], by[r] - ay[r]
-        ex, ey = px1 - px0, py1 - py0
-        den = dx * ey - dy * ex
+        ex, ey = px1 - px0, py1 - py0          # (m,)
+        a_x, a_y = ax[pos], ay[pos]
+        dx, dy = bx[pos] - a_x, by[pos] - a_y  # (n,)
+        den = dx[:, None] * ey[None, :] - dy[:, None] * ex[None, :]  # (n, m)
         with np.errstate(invalid="ignore", divide="ignore"):
-            t = ((px0 - ax[r]) * ey - (py0 - ay[r]) * ex) / np.where(den == 0, np.nan, den)
-            s = ((px0 - ax[r]) * dy - (py0 - ay[r]) * dx) / np.where(den == 0, np.nan, den)
-        ts = t[(t >= 0) & (t <= 1) & (s >= 0) & (s <= 1)]
-        ts = np.unique(np.concatenate([[0.0, 1.0], ts[np.isfinite(ts)]]))
-        mids_t = (ts[:-1] + ts[1:]) / 2.0
-        mx = ax[r] + dx * mids_t
-        my = ay[r] + dy * mids_t
-        inside = geo.point_in_polygon_np(mx, my, poly)
-        frac = float(np.sum((ts[1:] - ts[:-1])[inside]))
-        out[r] = frac * geo.haversine_np(ay[r], ax[r], by[r], bx[r])
+            den = np.where(den == 0, np.nan, den)
+            rx = px0[None, :] - a_x[:, None]
+            ry = py0[None, :] - a_y[:, None]
+            t = (rx * ey[None, :] - ry * ex[None, :]) / den
+            s = (rx * dy[:, None] - ry * dx[:, None]) / den
+        valid = (t >= 0) & (t <= 1) & (s >= 0) & (s <= 1) & np.isfinite(t)
+        t = np.where(valid, t, np.nan)
+        n = len(pos)
+        ts = np.sort(
+            np.concatenate(
+                [np.zeros((n, 1)), np.ones((n, 1)), t], axis=1
+            ),
+            axis=1,
+        )  # nans sort last
+        d = ts[:, 1:] - ts[:, :-1]
+        mid = (ts[:, 1:] + ts[:, :-1]) / 2.0
+        mx = a_x[:, None] + dx[:, None] * mid
+        my = a_y[:, None] + dy[:, None] * mid
+        inside = geo.point_in_polygon_np(mx.ravel(), my.ravel(), poly).reshape(d.shape)
+        frac = np.sum(np.where(inside & np.isfinite(d), d, 0.0), axis=1)
+        out[pos] = frac * seg_len[pos]
     return out
 
 
@@ -555,7 +582,7 @@ def intersection_length_join(
     def refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf):
-                pdf = pdf.assign(isect_len_m=_clip_len_batch(pdf))
+                pdf = pdf.assign(isect_len_m=_clip_len_batch(pdf, poly_key=poly_id))
             else:
                 pdf = pdf.assign(isect_len_m=np.zeros(0))
             yield pdf[[seg_id, poly_id, "isect_len_m"]]
