@@ -1501,6 +1501,35 @@ Q_CYCLEWAY_PRECEDENCE_SQL = f"""
 """
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Multi-resolution tile rollup pyramid: res-12 doc-density tiles
+    re-aggregated to res 10 and 8 via parent-cell arithmetic (the fact
+    scan happens once; coarser levels read only the base rollup). The
+    oracle re-encodes each level directly from coordinates -- passing
+    proves parent-of-encode == encode-at-parent-res exactly."""
+    pts = doc_points(spark, sf_dir).select(
+        "doc_id", h3idx.cell_col(F.col("lat"), F.col("lon"), TILE_RES).alias("tile_id")
+    )
+    base = pts.groupBy("tile_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tiles.tile_pyramid(base, TILE_RES, [10, 8], count_col="n_docs")
+        .orderBy("res", "tile_id")
+    )
+
+
+Q_TILE_PYRAMID_SQL = f"""
+  WITH p AS ({DOC_POINTS_SQL}),
+  lv AS (
+    SELECT {TILE_RES} AS res, {h3idx.cell_sql('lat', 'lon', TILE_RES)} AS tile_id FROM p
+    UNION ALL
+    SELECT 10, {h3idx.cell_sql('lat', 'lon', 10)} FROM p
+    UNION ALL
+    SELECT 8, {h3idx.cell_sql('lat', 'lon', 8)} FROM p)
+  SELECT res, tile_id, count(*) AS n_docs
+  FROM lv GROUP BY res, tile_id ORDER BY res, tile_id
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1547,4 +1576,5 @@ QUERIES = {
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_split_curves": (q_split_curves, Q_SPLIT_CURVES_SQL),
     "q_cycleway_precedence": (q_cycleway_precedence, Q_CYCLEWAY_PRECEDENCE_SQL),
+    "q_tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
 }

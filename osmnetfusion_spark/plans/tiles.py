@@ -81,6 +81,34 @@ def tile_edge_density(
     )
 
 
+def tile_pyramid(
+    tile_counts: DataFrame,
+    from_res: int,
+    levels: list[int],
+    count_col: str = "page_count",
+) -> DataFrame:
+    """Multi-resolution rollup pyramid (hypertable-rollup analog): coarser
+    levels re-aggregate the finest level's per-tile counts with pure
+    parent-cell column math -- the 10^12-row fact table is scanned ONCE
+    (for the base level); every coarser level reads only the base rollup.
+    Returns (res, tile_id, count_col) across all levels."""
+    outs = [tile_counts.select(
+        F.lit(from_res).alias("res"), "tile_id", F.col(count_col)
+    )]
+    for r in levels:
+        outs.append(
+            tile_counts.groupBy(
+                h3idx.parent_col(F.col("tile_id"), from_res - r).alias("tile_id")
+            )
+            .agg(F.sum(count_col).alias(count_col))
+            .select(F.lit(r).alias("res"), "tile_id", F.col(count_col))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def vectorize_tiles(tiles: DataFrame, tile_id: str = "tile_id") -> DataFrame:
     """Vector side of raster<->vector: reconstruct each tile's polygon ring
     from its cell id -- pure column math inverse of the encode."""
