@@ -58,7 +58,11 @@ def listify_py(values, as_int: bool = False):
         return []
     if as_int:
         out = [int(float(a)) for a in out]
-    return sorted(set(out))
+    # type-aware key: identical order to plain sorted() on homogeneous
+    # inputs (every reference-reachable case -- the reference itself would
+    # raise on mixed types); numbers-then-strings keeps degenerate mixed
+    # inputs deterministic instead of crashing the executor
+    return sorted(set(out), key=lambda x: (isinstance(x, str), x))
 
 
 def weighted_vals_py(vals, lengths):
