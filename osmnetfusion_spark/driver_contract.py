@@ -1530,6 +1530,50 @@ Q_TILE_PYRAMID_SQL = f"""
 """
 
 
+def q_signal_snap(spark, sf_dir):
+    """J5 point-to-point kNN(1) snap (traffic signals -> nearest node
+    <= 250 m, p2_enrichData.py:449-464) + A10 groupBy string-concat: each
+    node aggregates the comma-joined ids of the signals that snapped to
+    it, ordered deterministically."""
+    sig = doc_points(spark, sf_dir).select(F.col("doc_id").alias("sig_id"), "lat", "lon")
+    nodes = supplier_segments(spark, sf_dir).select(
+        F.col("edge_id").alias("node_id"), F.col("ay").alias("lat"), F.col("ax").alias("lon")
+    )
+    snapped = spatial.knn_join_points(
+        sig, nodes, radius_m=250.0, k=1,
+        probe_id="sig_id", build_id="node_id",
+    )
+    return (
+        snapped.groupBy("node_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_signals"),
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_list("sig_id")), lambda x: x.cast("string"))
+            ).alias("sig_ids"),
+        )
+        .orderBy("node_id")
+    )
+
+
+_HAV5 = geo.haversine_sql("p.lat", "p.lon", "n.lat", "n.lon")
+Q_SIGNAL_SNAP_SQL = f"""
+  WITH nodes AS (
+    SELECT edge_id AS node_id, ay AS lat, ax AS lon
+    FROM ({SUPPLIER_SEGMENTS_SQL}) __s),
+  sn AS (
+    SELECT sig_id, node_id,
+           row_number() OVER (PARTITION BY sig_id
+                              ORDER BY {_HAV5} ASC, n.node_id ASC) AS rn
+    FROM (SELECT doc_id AS sig_id, lat, lon FROM ({DOC_POINTS_SQL}) __p) p
+    CROSS JOIN nodes n
+    WHERE {_HAV5} <= 250.0)
+  SELECT node_id, count(*) AS n_signals,
+         string_agg(CAST(sig_id AS VARCHAR), ',' ORDER BY sig_id) AS sig_ids
+  FROM sn WHERE rn = 1
+  GROUP BY node_id ORDER BY node_id
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1577,4 +1621,5 @@ QUERIES = {
     "q_split_curves": (q_split_curves, Q_SPLIT_CURVES_SQL),
     "q_cycleway_precedence": (q_cycleway_precedence, Q_CYCLEWAY_PRECEDENCE_SQL),
     "q_tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
+    "q_signal_snap": (q_signal_snap, Q_SIGNAL_SNAP_SQL),
 }
