@@ -36,6 +36,14 @@ CLEAN_FLOAT_TABLE = [
     (1, "all", 1.0),
     (2.5, "all", 2.5),
     (None, "all", None),
+    # reference quirk (p3_functions.py:1123 `a[1:-1].isnumeric()` fires
+    # BEFORE the float() fallback): plain integer strings of >= 3 digits
+    # lose their first and last character -- '162' -> 6.0, '100' -> 0.0.
+    # Faithfully reproduced; do NOT "fix" without breaking output parity.
+    ("162", "all", 6.0),
+    ("100", "all", 0.0),
+    ("30", "all", 30.0),  # 2-digit: inner slice is '' -> float path
+    ("1.5", "all", 1.5),  # decimal: inner contains '.' -> float path
 ]
 
 
