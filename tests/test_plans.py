@@ -69,6 +69,36 @@ def test_intersection_length_is_cell_local(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_snap_carries_coords_no_tile_rejoin(spark):
+    # the kNN fold carries lat/lon (spatial carry), so tile_edge_density
+    # must take the no-join branch -- a re-join of the page corpus on url
+    # is a second full-table shuffle at web scale
+    from osmnetfusion_spark import synth
+    from osmnetfusion_spark.operators import spatial
+    from osmnetfusion_spark.plans import pages as P
+    from osmnetfusion_spark.plans import tiles as T
+
+    pg = P.dedupe_latest(synth.pages(spark, 500))
+    edges = spark.createDataFrame(synth.synthetic_city(1)["edges"]).withColumnRenamed(
+        "osmid", "edge_id"
+    )
+    segs = spatial.explode_segments(edges).select(
+        "edge_id", "seg_idx", "ax", "ay", "bx", "by"
+    )
+    snap = P.snap_pages_to_edges(pg, segs, 200.0)
+    assert "lat" in snap.columns and "lon" in snap.columns
+    ted = T.tile_edge_density(snap, pg, segs)
+    plan = ted._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the only join allowed is the density left-join on tile_id; no join
+    # keyed on url may appear anywhere in the tiling plan
+    import re
+
+    join_keys = re.findall(r"Join.*?\[(.*?)\]", plan)
+    assert not any("url" in k for k in join_keys), join_keys
+
+
 def test_registry_integrity():
     # every contract query carries a DuckDB oracle twin (the driver's
     # correctness gate); rows-only fallbacks would show up as None here
