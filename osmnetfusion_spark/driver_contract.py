@@ -27,6 +27,12 @@ from .plans import tiles
 LAT0, LON0, SPAN = 48.10, 11.50, 0.0084
 M1, M2 = 2_654_435_761, 2_246_822_519  # point derivation multipliers
 M3, M4 = 7_919, 104_729  # segment derivation multipliers
+# Fixed projection constant for float-boundary-sensitive contract queries:
+# with it, the whole distance tree is IEEE-exact ops only (no cos at query
+# time), so Spark and DuckDB produce bit-identical distances and boundary
+# membership can never flip between environments (round-1 q_amenity_radius
+# hash failure).
+FLAT_KX = geo.flat_kx_for_lat(LAT0 + 0.0042)
 SNAP_RADIUS_M = 100.0
 PIP_RES = 12
 TILE_RES = 12
@@ -673,7 +679,13 @@ def q_sessionize_batch(spark, sf_dir):
             F.min("tsec").alias("session_start"),
             F.max("tsec").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # order-insensitive exact sum: floor-scale each value to integer
+            # micros BEFORE summing (bigint addition is associative, so
+            # Spark's partial-agg order can never flip a rounding boundary
+            # vs DuckDB -- round-1 q_sessionize_batch hash failure)
+            F.sum(F.floor(F.col("value") * F.lit(1000000.0)).cast("long")).alias(
+                "sum_value_micros"
+            ),
         )
         .orderBy("user_id", "session_idx")
     )
@@ -682,7 +694,8 @@ def q_sessionize_batch(spark, sf_dir):
 Q_SESSIONIZE_SQL = """
   SELECT user_id, session_idx,
          min(tsec) AS session_start, max(tsec) AS session_end,
-         count(*) AS n_events, round(sum(value), 6) AS sum_value
+         count(*) AS n_events,
+         sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS sum_value_micros
   FROM (
     SELECT user_id, value, tsec,
            sum(gap) OVER (PARTITION BY user_id
@@ -1126,23 +1139,37 @@ Q_ISECT_LEN_SQL = f"""
 def q_amenity_radius(spark, sf_dir):
     """J6 kNN(1) + radius join (p2_enrichData.py:495-557): per edge, how
     many doc 'amenities' lie within 200 m (`amenity_nearby`) and how many
-    snap to it as their single nearest edge (`amenity_on`)."""
+    snap to it as their single nearest edge (`amenity_on`).
+
+    Dedicated radius path (no per-point ranking window over all in-radius
+    candidates); the nearest flag comes from the k=1 cellfold. FLAT_KX
+    makes the distance bit-identical to the DuckDB oracle."""
     p = doc_points(spark, sf_dir).select("doc_id", "lat", "lon")
     s = supplier_segments(spark, sf_dir)
-    pairs = spatial.knn_join_segments(
-        p, s, radius_m=200.0, k=1_000_000, point_id="doc_id", seg_id="edge_id"
+    pairs = spatial.radius_join_segments(
+        p, s, radius_m=200.0, point_id="doc_id", seg_id="edge_id",
+        flat_kx=FLAT_KX,
     )
+    nearest = spatial.knn_join_segments(
+        p, s, radius_m=200.0, k=1, point_id="doc_id", seg_id="edge_id",
+        flat_kx=FLAT_KX,
+    )
+    nearby = pairs.groupBy("edge_id").agg(F.count(F.lit(1)).alias("n_nearby"))
+    on = nearest.groupBy("edge_id").agg(F.count(F.lit(1)).alias("n_on"))
     return (
-        pairs.groupBy("edge_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_nearby"),
-            F.sum(F.when(F.col("knn_rank") == 1, 1).otherwise(0)).alias("n_on"),
+        nearby.join(on, "edge_id", "left")
+        .select(
+            "edge_id",
+            "n_nearby",
+            F.coalesce("n_on", F.lit(0)).cast("long").alias("n_on"),
         )
         .orderBy("edge_id")
     )
 
 
-_DIST6 = geo.point_segment_dist_sql("p.lat", "p.lon", "s.ay", "s.ax", "s.by", "s.bx")
+_DIST6 = geo.point_segment_dist_sql(
+    "p.lat", "p.lon", "s.ay", "s.ax", "s.by", "s.bx", flat_kx=FLAT_KX
+)
 Q_AMENITY_RADIUS_SQL = f"""
   WITH pr AS (
     SELECT p.doc_id, s.edge_id,

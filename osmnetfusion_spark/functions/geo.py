@@ -60,8 +60,25 @@ def bearing_deg(ax: Column, ay: Column, bx: Column, by: Column) -> Column:
     return F.degrees(F.atan2(by - ay, bx - ax))
 
 
+def flat_kx_for_lat(lat_deg: float) -> float:
+    """Fixed metres-per-degree-longitude constant for a reference latitude.
+
+    Passing this as ``flat_kx`` to the distance kernels replaces the
+    per-segment ``cos(radians(mid_lat))`` with one double literal, leaving
+    only IEEE-exact operations (+, -, *, /, sqrt, compares) in the whole
+    distance tree -- bit-identical between the JVM and any libm (DuckDB),
+    which is what the driver's cross-engine value-hash gate needs.
+    Appropriate for city-scale windows where the latitude variation's
+    effect on kx is far below the radius tolerance.
+    """
+    import math
+
+    return math.cos(math.radians(lat_deg)) * M_PER_DEG
+
+
 def point_segment_dist_m(
-    py_: Column, px: Column, ay: Column, ax: Column, by: Column, bx: Column
+    py_: Column, px: Column, ay: Column, ax: Column, by: Column, bx: Column,
+    flat_kx: float | None = None,
 ) -> Column:
     """Distance (m) from point p to segment a-b; x=lon, y=lat.
 
@@ -77,8 +94,14 @@ def point_segment_dist_m(
     predicates into join conditions, duplicating the whole tree -- this
     form keeps the duplicated tree ~10x smaller. Exact same value as the
     clamped form. Degenerate segments (v=0) fall into the u<=0 branch.
+
+    ``flat_kx``: optional fixed projection constant (see
+    :func:`flat_kx_for_lat`) for bit-stable cross-engine comparisons.
     """
-    kx = F.cos(F.radians((ay + by) * 0.5)) * F.lit(M_PER_DEG)
+    if flat_kx is not None:
+        kx = F.lit(float(flat_kx))
+    else:
+        kx = F.cos(F.radians((ay + by) * 0.5)) * F.lit(M_PER_DEG)
     ky = F.lit(M_PER_DEG)
     apx, apy = (px - ax) * kx, (py_ - ay) * ky
     abx, aby = (bx - ax) * kx, (by - ay) * ky
@@ -94,10 +117,14 @@ def point_segment_dist_m(
 
 
 def point_segment_dist_sql(
-    py_: str, px: str, ay: str, ax: str, by: str, bx: str
+    py_: str, px: str, ay: str, ax: str, by: str, bx: str,
+    flat_kx: float | None = None,
 ) -> str:
     """The identical point-to-segment distance as an ANSI-SQL string."""
-    kx = f"(cos(radians((({ay}) + ({by})) * 0.5)) * {M_PER_DEG})"
+    if flat_kx is not None:
+        kx = f"({float(flat_kx)!r})"
+    else:
+        kx = f"(cos(radians((({ay}) + ({by})) * 0.5)) * {M_PER_DEG})"
     ky = f"{M_PER_DEG}"
     apx, apy = f"((({px}) - ({ax})) * {kx})", f"((({py_}) - ({ay})) * {ky})"
     abx, aby = f"((({bx}) - ({ax})) * {kx})", f"((({by}) - ({ay})) * {ky})"

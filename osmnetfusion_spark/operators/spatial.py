@@ -79,6 +79,54 @@ def fan_out_probe(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(target, F.col(key))
 
 
+# conservative ceiling for an explicit build-side broadcast: cover-cell
+# explosion multiplies the segment rows ~3-5x, and every executor holds a
+# full copy, so cap well below typical executor memory
+BROADCAST_GUARD_BYTES = 256 << 20
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Source-file bytes feeding a DataFrame (None if not a file scan).
+
+    File-metadata only -- never touches ``df.rdd`` (under AQE that
+    finalizes the plan and runs hidden jobs, see :func:`fan_out_probe`).
+    Pre-filter source size, so it over-estimates: safe direction for a
+    broadcast guard.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import os as _os
+
+    total = 0
+    for f in files:
+        try:
+            total += _os.path.getsize(f[7:] if f.startswith("file:") else f)
+        except OSError:
+            return None
+    return total
+
+
+def _maybe_broadcast(df: DataFrame, want: bool) -> DataFrame:
+    """Broadcast hint with a size guard.
+
+    ``want=True`` is the caller's claim that the build side is small (the
+    simplified network). A caller accidentally passing a planet-scale
+    network must not OOM every executor: if the source files exceed
+    BROADCAST_GUARD_BYTES the hint is dropped and AQE picks the join
+    strategy from runtime sizes instead.
+    """
+    if not want:
+        return df
+    est = _input_bytes(df)
+    if est is not None and est > BROADCAST_GUARD_BYTES:
+        return df
+    return F.broadcast(df)
+
+
 # ----------------------------------------------------------- cover / explode
 
 
@@ -170,6 +218,7 @@ def knn1_join_segments_cellfold(
     lon: str = "lon",
     broadcast_build: bool = True,
     carry: tuple[str, ...] = (),
+    flat_kx: float | None = None,
 ) -> DataFrame:
     """kNN(1) with a single map-side-combinable aggregation.
 
@@ -198,7 +247,12 @@ def knn1_join_segments_cellfold(
         # them ONCE on the (tiny) build side so the per-pair expression --
         # which Catalyst duplicates into the join condition -- stays small.
         # Same arithmetic as geo.point_segment_dist_m, bit-identical.
-        .withColumn("__kx", F.cos(F.radians((F.col("ay") + F.col("by")) * 0.5)) * m)
+        .withColumn(
+            "__kx",
+            F.lit(float(flat_kx))
+            if flat_kx is not None
+            else F.cos(F.radians((F.col("ay") + F.col("by")) * 0.5)) * m,
+        )
         .withColumn("__abx", (F.col("bx") - F.col("ax")) * F.col("__kx"))
         .withColumn("__aby", (F.col("by") - F.col("ay")) * m)
         .withColumn("__v", F.col("__abx") * F.col("__abx") + F.col("__aby") * F.col("__aby"))
@@ -217,7 +271,7 @@ def knn1_join_segments_cellfold(
         .otherwise(w - (u * u) / F.col("__v"))
     )
     d = F.sqrt(F.greatest(d2, F.lit(0.0)))
-    build_side = F.broadcast(build) if broadcast_build else build
+    build_side = _maybe_broadcast(build, broadcast_build)
     cand = (
         probe.join(build_side, "cell")
         .withColumn("__d", d)
@@ -256,6 +310,7 @@ def knn_join_segments(
     lon: str = "lon",
     broadcast_build: bool = True,
     carry: tuple[str, ...] = (),
+    flat_kx: float | None = None,
 ) -> DataFrame:
     """kNN (<= radius_m) join of points to polyline *segments*.
 
@@ -285,9 +340,41 @@ def knn_join_segments(
         return knn1_join_segments_cellfold(
             points, segments, radius_m,
             point_id=point_id, seg_id=seg_id, lat=lat, lon=lon,
-            broadcast_build=broadcast_build, carry=carry,
+            broadcast_build=broadcast_build, carry=carry, flat_kx=flat_kx,
         )
     assert not carry, "carry is only supported on the k=1 cellfold path"
+    per_entity = radius_join_segments(
+        points, segments, radius_m,
+        point_id=point_id, seg_id=seg_id, lat=lat, lon=lon,
+        broadcast_build=broadcast_build, flat_kx=flat_kx,
+    )
+    w = Window.partitionBy(point_id).orderBy(F.col("dist_m").asc(), F.col(seg_id).asc())
+    ranked = per_entity.withColumn("knn_rank", F.row_number().over(w))
+    return ranked.filter(F.col("knn_rank") <= k)
+
+
+def radius_join_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    radius_m: float,
+    point_id: str = "point_id",
+    seg_id: str = "edge_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    broadcast_build: bool = True,
+    flat_kx: float | None = None,
+) -> DataFrame:
+    """In-radius membership join: one row per (point, entity) pair within
+    ``radius_m``, with ``dist_m`` = min distance over the entity's segments.
+
+    This is the radius half of the reference's amenity join
+    (``p2_enrichData.py:536-552`` -- every edge within 200 m gets
+    ``amenity_nearby``). Unlike :func:`knn_join_segments` with a huge ``k``,
+    there is NO per-point ranking window: dense cells don't pay a
+    ``row_number`` over every in-radius candidate. Callers that also need a
+    nearest-entity flag should take it from the k=1 cellfold and join the
+    two aggregates (both shuffles are on the same keys and combiner-friendly).
+    """
     res = h3idx.pick_res(radius_m)
     build = segments.withColumn(
         "cell",
@@ -299,20 +386,16 @@ def knn_join_segments(
         "cell", h3idx.cell_col(F.col(lat), F.col(lon), res)
     )
 
-    cand = probe.join(F.broadcast(build) if broadcast_build else build, "cell").withColumn(
+    cand = probe.join(_maybe_broadcast(build, broadcast_build), "cell").withColumn(
         "seg_dist_m",
         geo.point_segment_dist_m(
-            F.col(lat), F.col(lon), F.col("ay"), F.col("ax"), F.col("by"), F.col("bx")
+            F.col(lat), F.col(lon), F.col("ay"), F.col("ax"), F.col("by"), F.col("bx"),
+            flat_kx=flat_kx,
         ),
     )
     cand = cand.filter(F.col("seg_dist_m") <= F.lit(float(radius_m)))
     # per (point, entity): min over that entity's segments (and dup cells)
-    per_entity = cand.groupBy(point_id, seg_id).agg(
-        F.min("seg_dist_m").alias("dist_m")
-    )
-    w = Window.partitionBy(point_id).orderBy(F.col("dist_m").asc(), F.col(seg_id).asc())
-    ranked = per_entity.withColumn("knn_rank", F.row_number().over(w))
-    return ranked.filter(F.col("knn_rank") <= k)
+    return cand.groupBy(point_id, seg_id).agg(F.min("seg_dist_m").alias("dist_m"))
 
 
 def knn_join_segments_adaptive(

@@ -486,15 +486,19 @@ def add_bicycle_parking(edges: DataFrame, amenities: DataFrame) -> DataFrame:
     segs = spatial.explode_segments(bike_edges.select("edge_id", "geometry")).select(
         "edge_id", "seg_idx", "ax", "ay", "bx", "by"
     )
-    near = spatial.knn_join_segments(
-        amenities.select("amenity_id", "amenity", "lat", "lon"),
-        segs,
-        radius_m=200.0,
-        k=1_000_000,
-        point_id="amenity_id",
-        seg_id="edge_id",
-        broadcast_build=False,
-    ).join(amenities.select("amenity_id", "amenity"), "amenity_id")
+    pts = amenities.select("amenity_id", "lat", "lon")
+    names = amenities.select("amenity_id", "amenity")
+    # dedicated radius membership (no per-amenity ranking window over every
+    # in-radius candidate -- dense cells would pay it for nothing) + the
+    # nearest flag from the shuffle-light k=1 cellfold
+    near = spatial.radius_join_segments(
+        pts, segs, radius_m=200.0,
+        point_id="amenity_id", seg_id="edge_id", broadcast_build=False,
+    ).join(names, "amenity_id")
+    nearest = spatial.knn_join_segments(
+        pts, segs, radius_m=200.0, k=1,
+        point_id="amenity_id", seg_id="edge_id", broadcast_build=False,
+    ).join(names, "amenity_id")
 
     nearby = near.groupBy("edge_id").agg(
         F.concat_ws(
@@ -508,7 +512,7 @@ def add_bicycle_parking(edges: DataFrame, amenities: DataFrame) -> DataFrame:
         ).alias("amenity_nearby")
     )
     on = (
-        near.filter(F.col("knn_rank") == 1)
+        nearest
         .groupBy("edge_id")
         .agg(
             F.concat_ws(

@@ -38,11 +38,19 @@ def dedupe_latest(pages: DataFrame) -> DataFrame:
     payload fields in the comparator only fire on full (ts, text) ties,
     where the window version's pick was partition-order-dependent; this is
     strictly more deterministic.
+
+    NULL handling matches ``row_number over warc_ts DESC NULLS LAST``: a
+    NULL warc_ts sorts as the oldest possible crawl (loses to any real
+    timestamp), via coalesce to +inf micros on the negated key. Requires
+    every payload column to be orderable (array/struct are; map is not --
+    pre-serialize map columns to json before deduping).
     """
     cols = pages.columns
     rest = [c for c in cols if c not in ("url", "warc_ts", "text")]
+    # Long.MAX: NULL ts -> largest negated key -> sorts last (loses)
+    _NULL_TS_KEY = 9_223_372_036_854_775_807
     sel = F.struct(
-        (-F.unix_micros(F.col("warc_ts"))).alias("k_ts"),
+        F.coalesce(-F.unix_micros(F.col("warc_ts")), F.lit(_NULL_TS_KEY)).alias("k_ts"),
         F.col("text").alias("k_text"),
         *[F.col(c).alias(f"k_{c}") for c in rest],
         F.col("warc_ts").alias("k_orig_ts"),

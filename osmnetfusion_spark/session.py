@@ -14,6 +14,48 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _mem_total_gib() -> int:
+    """Machine memory in GiB (0 if unreadable)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) // (1024 * 1024)
+    except OSError:
+        pass
+    return 0
+
+
+def _default_offheap_gb() -> int:
+    """Off-heap default scaled to the host: min(48g, ~40% of MemTotal).
+
+    Hardcoding 48g fails at startup on smaller hosts; scaling degrades
+    gracefully while keeping the measured-optimal size on this 125 GiB box.
+    """
+    total = _mem_total_gib()
+    if total <= 0:
+        return 8
+    return max(1, min(48, int(total * 0.4)))
+
+
+def _default_local_dir() -> str:
+    """tmpfs-backed shuffle dirs only when /dev/shm is actually large.
+
+    RAM-backed local dirs keep shuffle IO off the VM's slow block storage,
+    but on a host with a small /dev/shm they exhaust it mid-job -- fall
+    back to disk below 16 GiB of tmpfs.
+    """
+    shm = "/dev/shm"
+    if os.path.isdir(shm):
+        try:
+            st = os.statvfs(shm)
+            if st.f_frsize * st.f_blocks >= 16 * 1024**3:
+                return f"{shm}/spark-local"
+        except OSError:
+            pass
+    return "/tmp"
+
+
 def get_session(
     app_name: str = "osmnetfusion-spark",
     master: str | None = None,
@@ -65,17 +107,15 @@ def get_session(
         # cluster would set per-executor.
         .config("spark.memory.offHeap.enabled", "true")
         .config(
-            "spark.memory.offHeap.size", os.environ.get("SPARK_GRAFT_OFFHEAP", "48g")
+            "spark.memory.offHeap.size",
+            os.environ.get("SPARK_GRAFT_OFFHEAP", f"{_default_offheap_gb()}g"),
         )
         .config("spark.memory.fraction", "0.7")
         # shuffle spill on tmpfs: VM block storage does not scale with
         # cores; RAM-backed local dirs keep shuffle IO off the critical path
         .config(
             "spark.local.dir",
-            os.environ.get(
-                "SPARK_GRAFT_LOCAL_DIR",
-                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
-            ),
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", _default_local_dir()),
         )
         .config("spark.ui.enabled", "false")
     )

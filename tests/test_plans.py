@@ -105,3 +105,33 @@ def test_registry_integrity():
     for name, (fn, sql) in DC.QUERIES.items():
         assert callable(fn), name
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_broadcast_guard_blocks_large_build(spark, tmp_path, monkeypatch):
+    # a caller claiming broadcast_build=True must NOT get a broadcast when
+    # the build side's source files exceed the guard threshold -- an
+    # accidental planet-scale broadcast would OOM every executor
+    from osmnetfusion_spark.operators import spatial as SP
+
+    segs = DC.supplier_segments(spark, SF)
+    path = str(tmp_path / "segs.parquet")
+    segs.write.mode("overwrite").parquet(path)
+    file_segs = spark.read.parquet(path)
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    pts = DC.doc_points(spark, SF).select("doc_id", "lat", "lon")
+    # small file, default guard: hint honored
+    df = SP.knn_join_segments(
+        pts, file_segs, radius_m=100.0, k=1, point_id="doc_id", seg_id="edge_id"
+    )
+    assert "BroadcastHashJoin" in plan_of(df)
+    # same file "too large": hint dropped, no explicit broadcast of the build
+    monkeypatch.setattr(SP, "BROADCAST_GUARD_BYTES", 1)
+    df2 = SP.knn_join_segments(
+        pts, file_segs, radius_m=100.0, k=1, point_id="doc_id", seg_id="edge_id"
+    )
+    assert "ResolvedHint" not in df2._jdf.queryExecution().analyzed().toString()
