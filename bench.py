@@ -31,12 +31,11 @@ from osmnetfusion_spark.plans import pages as PG  # noqa: E402
 from osmnetfusion_spark.plans import pipeline, tiles  # noqa: E402
 from osmnetfusion_spark.session import get_session  # noqa: E402
 
-CONTRACT_QUERIES = [
-    "q_pricing_summary", "q_knn_snap", "q_tile_density",
-    "q_tile_edge_assignment", "q_dedup_exact", "q_simhash",
-    "q_ann_topk", "q_ann_lsh", "q_amenity_radius",
-    "q_lang_id", "q_events_hourly",
-]
+# time EVERY contract query (round-over-round per-operator regression
+# visibility); `value` therefore covers the full vector from round 2 on --
+# compare rounds on `flagship_sec`/throughput and shared per-query entries,
+# not on `value` vs rounds that timed an 11-query subset
+CONTRACT_QUERIES = "ALL"
 
 
 def sf_of(sf_dir: str) -> float:
@@ -116,7 +115,8 @@ def main() -> None:
     # varies up to ~8x run-to-run (measured: q_ann_topk 0.96 s vs 7.6 s);
     # the min is the steady-state throughput a dedicated executor would see
     qs = {name: fn for name, (fn, _sql) in DC.QUERIES.items()}
-    for name in CONTRACT_QUERIES:
+    names = list(qs) if CONTRACT_QUERIES == "ALL" else CONTRACT_QUERIES
+    for name in names:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
@@ -136,6 +136,9 @@ def main() -> None:
                 "metric": "simplified-edges+tile-assignments e2e",
                 "value": total,
                 "unit": "sec",
+                "flagship_sec": round(flagship_sec, 3),
+                "contract_sec": round(total - flagship_sec, 3),
+                "n_contract_queries": len(names),
                 "queries": queries,
                 "sf": sf,
                 "n_pages": n_pages,

@@ -1601,6 +1601,170 @@ Q_SIGNAL_SNAP_SQL = f"""
 """
 
 
+def q_cluster_kmeans(spark, sf_dir):
+    """G3 big-cluster k-means fallback (p3_functions.py:447-471,
+    clusterThreshold configFile.py:188): two dense node blobs derived from
+    customer keys -- 120 nodes (over threshold, must split into
+    120//50+1 = 3 clusters) and 30 nodes (under threshold, one cluster).
+    Exercises the full distributed path: overlap pairs -> connected
+    components -> per-component fold with the seeded k-means split.
+    Every blob point lies within ~7 m of every other (buf_r 4 m, so all
+    pairs overlap -> exactly one component per blob)."""
+    from .plans import simplify as S
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 150)
+    k = F.col("c_custkey")
+    blob = F.when(k <= 120, F.lit(0)).otherwise(F.lit(1)).alias("blob_id")
+    nodes = c.select(
+        k.cast("long").alias("osmid"),
+        blob,
+        (F.lit(LON0) + blob * 0.05 + ((k * M1) % 1000).cast("double") / 1000.0 * 5e-5).alias("x"),
+        (F.lit(LAT0) + blob * 0.05 + ((k * M2) % 1000).cast("double") / 1000.0 * 5e-5).alias("y"),
+        (k % 7).cast("double").alias("highway_rank"),
+        F.lit(4.0).alias("buf_r"),
+    )
+    clustered = S.cluster_nodes(nodes, spark, threshold=S.CLUSTER_THRESHOLD)
+    return (
+        clustered.groupBy("blob_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.countDistinct("merged_by").alias("n_clusters"),
+        )
+        .orderBy("blob_id")
+    )
+
+
+Q_CLUSTER_KMEANS_SQL = """
+  SELECT CASE WHEN c_custkey <= 120 THEN 0 ELSE 1 END AS blob_id,
+         count(*) AS n_nodes,
+         CASE WHEN count(*) >= 50
+              THEN CAST(floor(count(*) / 50.0) AS BIGINT) + 1
+              ELSE 1 END AS n_clusters
+  FROM customer WHERE c_custkey <= 150
+  GROUP BY 1 ORDER BY 1
+"""
+
+
+PBF_HIGHWAYS = ["residential", "cycleway", "path", "secondary", "service"]
+
+
+def q_pbf_roundtrip(spark, sf_dir):
+    """S5 OSM PBF parse (p1_getFurtherOSMData.py:94-117, osmium
+    SimpleHandler): keys -> PBF-shaped binary blobs (varint + zigzag +
+    delta + string table + zlib, built per-group in applyInPandas) ->
+    distributed decode back to node/way rows. The oracle derives the same
+    fields arithmetically, so any corruption anywhere in the
+    encode/decode path breaks the value hash."""
+    import pandas as pd_
+
+    from .sources import pbf
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("k"))
+    grouped = p.withColumn("blob_id", F.floor(F.col("k") / F.lit(100.0)).cast("long"))
+
+    def build(pdf: pd_.DataFrame) -> pd_.DataFrame:
+        keys = sorted(int(x) for x in pdf["k"])
+        nodes = [
+            (k, (k * M2) % 900_000, (k * M1) % 1_800_000,
+             [("highway", PBF_HIGHWAYS[k % 5])])
+            for k in keys
+        ]
+        ways = [
+            (k, [k, k + 1, k + 2], [("oneway", "yes" if k % 2 == 0 else "no")])
+            for k in keys
+            if k % 10 == 0
+        ]
+        return pd_.DataFrame(
+            {"blob_id": [int(pdf["blob_id"].iloc[0])],
+             "data": [pbf.encode_blob(nodes, ways)]}
+        )
+
+    blobs = grouped.groupBy("blob_id").applyInPandas(build, "blob_id long, data binary")
+    nodes = pbf.parse_nodes(blobs)
+    ways = pbf.parse_ways(blobs).select(
+        F.col("way_id").alias("node_id"),
+        F.size("refs").cast("int").alias("n_refs"),
+        F.element_at("tags", "oneway").alias("oneway"),
+    )
+    return (
+        nodes.select(
+            "node_id", "lat_1e7", "lon_1e7",
+            F.element_at("tags", "highway").alias("highway"),
+        )
+        .join(ways, "node_id", "left")
+        .orderBy("node_id")
+    )
+
+
+_PBF_HW_SQL = " ".join(
+    f"WHEN {i} THEN '{h}'" for i, h in enumerate(PBF_HIGHWAYS)
+)
+Q_PBF_ROUNDTRIP_SQL = f"""
+  SELECT p_partkey AS node_id,
+         (p_partkey * {M2}) % 900000 AS lat_1e7,
+         (p_partkey * {M1}) % 1800000 AS lon_1e7,
+         CASE p_partkey % 5 {_PBF_HW_SQL} END AS highway,
+         CASE WHEN p_partkey % 10 = 0 THEN CAST(3 AS INT) END AS n_refs,
+         CASE WHEN p_partkey % 10 = 0
+              THEN (CASE WHEN p_partkey % 2 = 0 THEN 'yes' ELSE 'no' END)
+              END AS oneway
+  FROM part ORDER BY node_id
+"""
+
+
+def q_media_decode(spark, sf_dir):
+    """Multimodal REAL decode path: synthesize one 8-bit grayscale PNG per
+    part key (gradient pixels value = base + x + 3y, all < 256), push the
+    bytes through the pure-Python PNG decoder
+    (operators/multimodal.decode_png: chunk CRCs, zlib IDAT, scanline
+    de-filtering), and emit IHDR dims + exact intensity stats. The oracle
+    derives the same stats in closed form -- every quantity is a dyadic
+    rational, so the float math is bit-exact on both sides."""
+    import pandas as pd_
+
+    from .operators import multimodal as MM
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("k"))
+
+    def build(it):
+        import numpy as np_
+
+        for pdf in it:
+            rows = []
+            for k in pdf["k"]:
+                k = int(k)
+                w, h, base = 2 + k % 6, 2 + k % 5, k % 200
+                yy, xx = np_.mgrid[0:h, 0:w]
+                px = (base + xx + 3 * yy).astype("uint8")
+                rows.append((str(k), MM.encode_png(px, filter_type=k % 5)))
+            yield pd_.DataFrame(rows, columns=["doc_id", "png"])
+
+    blobs = p.mapInPandas(build, schema="doc_id string, png binary")
+    out = MM.decode_and_featurize(blobs, payload="png", id_col="doc_id", fake=False)
+    return out.select(
+        "doc_id", "width", "height",
+        F.element_at("features", 1).alias("mean_v"),
+        F.element_at("features", 2).alias("min_v"),
+        F.element_at("features", 3).alias("max_v"),
+        "decoded",
+    ).orderBy(F.col("doc_id").cast("long"))
+
+
+Q_MEDIA_DECODE_SQL = """
+  SELECT CAST(p_partkey AS VARCHAR) AS doc_id,
+         CAST(2 + p_partkey % 6 AS INT) AS width,
+         CAST(2 + p_partkey % 5 AS INT) AS height,
+         (CAST(p_partkey % 200 AS DOUBLE)
+            + (p_partkey % 6 + 1) / 2.0
+            + 3 * (p_partkey % 5 + 1) / 2.0) / 255.0 AS mean_v,
+         CAST(p_partkey % 200 AS DOUBLE) / 255.0 AS min_v,
+         CAST(p_partkey % 200 + (p_partkey % 6 + 1)
+              + 3 * (p_partkey % 5 + 1) AS DOUBLE) / 255.0 AS max_v,
+         TRUE AS decoded
+  FROM part ORDER BY p_partkey
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1649,4 +1813,7 @@ QUERIES = {
     "q_cycleway_precedence": (q_cycleway_precedence, Q_CYCLEWAY_PRECEDENCE_SQL),
     "q_tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
     "q_signal_snap": (q_signal_snap, Q_SIGNAL_SNAP_SQL),
+    "q_cluster_kmeans": (q_cluster_kmeans, Q_CLUSTER_KMEANS_SQL),
+    "q_pbf_roundtrip": (q_pbf_roundtrip, Q_PBF_ROUNDTRIP_SQL),
+    "q_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
 }

@@ -2,11 +2,12 @@
 
 Images/audio/video travel as ``binary`` columns with typed metadata
 structs. The Spark-side plumbing (schemas, Arrow batch shapes, partition
-strategy, UDF signatures) is real and tested; the actual codec step is
-STUBBED because no image/audio library exists in this container -- decode
-raises ``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic fake decoder so the pipeline shape can be exercised end to
-end.
+strategy, UDF signatures) is real and tested. The codec layer: PNG decode
+is REAL (pure-Python chunk/zlib/de-filter implementation below -- zlib is
+stdlib); other formats (JPEG/MP3/video) have no codec library in this
+container, so their rows come back ``decoded=false`` with null features
+instead of failing the batch -- the skip-undecodable semantic a bulk media
+pipeline wants anyway.
 
 At cluster scale the rules encoded here:
 - binary columns are never groupBy keys; metadata (length, digest) is
@@ -19,12 +20,145 @@ At cluster scale the rules encoded here:
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# ------------------------------------------------------- pure-Python PNG
+# Minimal but genuine PNG codec (public spec: 8-byte signature, length-
+# tagged CRC'd chunks, zlib IDAT, per-scanline filters 0-4). Supports
+# 8-bit grayscale and RGB, no interlace -- enough for a real (not faked)
+# decode path; production swaps in a codec library for the exotic rest.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """8-bit grayscale PNG from an (h, w) uint8 array.
+
+    ``filter_type`` (0-4) is applied to every scanline -- non-zero types
+    exist to exercise the decoder's de-filter paths in tests. Encoding
+    filters use RAW neighbors (per spec), so all types vectorize.
+    """
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=int)
+    for r in range(h):
+        row = px[r].astype(int)
+        left = np.concatenate(([0], row[:-1]))
+        ul = np.concatenate(([0], prev[:-1]))
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:
+            enc = (row - left) % 256
+        elif filter_type == 2:
+            enc = (row - prev) % 256
+        elif filter_type == 3:
+            enc = (row - (left + prev) // 2) % 256
+        elif filter_type == 4:
+            pr = np.array([_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, ul)])
+            enc = (row - pr) % 256
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        raw.append(filter_type)
+        raw.extend(np.asarray(enc, dtype=np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse chunks (CRC-checked), inflate IDAT, undo scanline filters.
+
+    Returns (width, height, pixels) -- (h, w) for grayscale, (h, w, 3)
+    for RGB. De-filtering Sub/Average/Paeth is per-pixel sequential (the
+    spec's recon uses RECONSTRUCTED neighbors); fine for thumbnail-scale
+    assets, a real deployment uses a codec library for megapixel inputs.
+    """
+    if data[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_SIG)
+    idat = b""
+    w = h = ctype = None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w, h, bitd, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+            if bitd != 8 or ctype not in (0, 2) or interlace != 0:
+                raise ValueError("unsupported PNG variant (8-bit gray/rgb, no interlace)")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    nch = 1 if ctype == 0 else 3
+    stride = w * nch
+    raw = zlib.decompress(idat)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=int)
+    p = 0
+    for r in range(h):
+        ft = raw[p]
+        p += 1
+        line = np.frombuffer(raw[p : p + stride], dtype=np.uint8).astype(int)
+        p += stride
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + prev) % 256
+        elif ft in (1, 3, 4):
+            cur = line.copy()
+            for x in range(stride):
+                left = int(cur[x - nch]) if x >= nch else 0
+                if ft == 1:
+                    cur[x] = (cur[x] + left) % 256
+                elif ft == 3:
+                    cur[x] = (cur[x] + (left + int(prev[x])) // 2) % 256
+                else:
+                    ul = int(prev[x - nch]) if x >= nch else 0
+                    cur[x] = (cur[x] + _paeth(left, int(prev[x]), ul)) % 256
+        else:
+            raise ValueError(f"bad scanline filter {ft}")
+        out[r] = cur
+        prev = cur.astype(int)
+    return w, h, (out.reshape(h, w, nch) if nch == 3 else out)
 
 MEDIA_META_SCHEMA = (
     "byte_len bigint, digest_md5 string, magic string, modality string"
@@ -56,33 +190,59 @@ def decode_and_featurize(
 ) -> DataFrame:
     """Decode binary payloads and emit fixed-width feature vectors.
 
-    Real decode is unavailable in this environment (no PIL/ffmpeg):
-    ``fake=False`` raises ``NotImplementedError`` *inside the executor
-    batch*, exactly where a real codec call would sit. ``fake=True`` uses a
-    deterministic byte-histogram "feature" so schema, batching, and
-    downstream joins are exercised for real.
+    PNG payloads decode for REAL (pure-Python codec above): width/height
+    from IHDR, features = [mean, min, max] pixel intensity / 255 across
+    all channels, ``decoded=true``. Payloads in formats with no codec in
+    this environment (JPEG/MP3/...) return ``decoded=false`` with null
+    width/height/features -- skipped, not failed, so one exotic asset
+    cannot kill a billion-row batch. ``fake=True`` keeps the deterministic
+    byte-histogram stub (schema/batch-shape testing without image bytes).
     """
-    schema = f"{id_col} string, width int, height int, features array<double>"
+    schema = (
+        f"{id_col} string, width int, height int, features array<double>, "
+        "decoded boolean"
+    )
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, widths, heights, feats = [], [], [], []
+            ids, widths, heights, feats, deco = [], [], [], [], []
             for key, blob in zip(pdf[id_col], pdf[payload]):
                 b = bytes(blob)
-                if not fake:
-                    raise NotImplementedError(
-                        "media decode requires a codec library (PIL/ffmpeg); "
-                        "run with fake=True for the deterministic stub"
-                    )
-                arr = np.frombuffer(b, dtype=np.uint8)
-                hist = np.bincount(arr % n_features, minlength=n_features)
-                total = max(int(hist.sum()), 1)
                 ids.append(key)
-                widths.append(int(len(b) % 1024))
-                heights.append(int((len(b) // 1024) + 1))
-                feats.append((hist / total).astype(float).tolist())
+                if fake:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    hist = np.bincount(arr % n_features, minlength=n_features)
+                    total = max(int(hist.sum()), 1)
+                    widths.append(int(len(b) % 1024))
+                    heights.append(int((len(b) // 1024) + 1))
+                    feats.append((hist / total).astype(float).tolist())
+                    deco.append(True)
+                    continue
+                if b[: len(PNG_SIG)] == PNG_SIG:
+                    try:
+                        w, h, px = decode_png(b)
+                    except ValueError:
+                        widths.append(None); heights.append(None)
+                        feats.append(None); deco.append(False)
+                        continue
+                    flat = px.reshape(-1).astype(np.int64)
+                    widths.append(int(w))
+                    heights.append(int(h))
+                    feats.append(
+                        [
+                            float(flat.sum()) / len(flat) / 255.0,
+                            float(flat.min()) / 255.0,
+                            float(flat.max()) / 255.0,
+                        ]
+                    )
+                    deco.append(True)
+                else:
+                    # no codec for this format in-container: skip, don't fail
+                    widths.append(None); heights.append(None)
+                    feats.append(None); deco.append(False)
             yield pd.DataFrame(
-                {id_col: ids, "width": widths, "height": heights, "features": feats}
+                {id_col: ids, "width": widths, "height": heights,
+                 "features": feats, "decoded": deco}
             )
 
     return df.select(id_col, payload).mapInPandas(run, schema=schema)

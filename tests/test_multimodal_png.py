@@ -1,0 +1,43 @@
+"""Pure-Python PNG codec: filters, RGB, CRC checks, skip-undecodable."""
+
+import numpy as np
+import pytest
+
+from osmnetfusion_spark.operators import multimodal as MM
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_gray_roundtrip_all_filters(ft):
+    rng = np.random.default_rng(ft)
+    px = rng.integers(0, 256, size=(11, 7), dtype=np.uint8)
+    w, h, dec = MM.decode_png(MM.encode_png(px, filter_type=ft))
+    assert (w, h) == (7, 11)
+    np.testing.assert_array_equal(dec, px)
+
+
+def test_crc_corruption_detected():
+    blob = bytearray(MM.encode_png(np.zeros((4, 4), dtype=np.uint8)))
+    blob[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        MM.decode_png(bytes(blob))
+
+
+def test_not_png_rejected():
+    with pytest.raises(ValueError, match="not a PNG"):
+        MM.decode_png(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_decode_and_featurize_mixed_payloads(spark):
+    # one real PNG + one undecodable payload in the same batch: the PNG
+    # decodes, the other row comes back decoded=false instead of failing
+    px = np.full((3, 5), 100, dtype=np.uint8)
+    rows = [("a", bytearray(MM.encode_png(px))), ("b", bytearray(b"\xff\xd8not-a-png"))]
+    df = spark.createDataFrame(rows, "doc_id string, png binary")
+    out = {
+        r.doc_id: r
+        for r in MM.decode_and_featurize(df, payload="png", id_col="doc_id", fake=False).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert a.decoded and (a.width, a.height) == (5, 3)
+    assert abs(a.features[0] - 100 / 255.0) < 1e-12
+    assert not b.decoded and b.width is None and b.features is None

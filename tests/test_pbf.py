@@ -1,0 +1,72 @@
+"""PBF-shaped codec (S5 analog): pure-codec roundtrips incl. the encodings
+the contract query's friendly arithmetic never hits (negative zigzag
+deltas, southern/western hemispheres, unicode tags, empty blocks)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osmnetfusion_spark.sources import pbf
+
+
+def _roundtrip(nodes, ways=()):
+    return pbf._decode_blob(pbf.encode_blob(nodes, ways))
+
+
+def test_roundtrip_basic():
+    nodes = [
+        (1, 485_000_000, 113_000_000, [("highway", "residential")]),
+        (5, 485_000_100, 112_999_900, []),
+    ]
+    ways = [(10, [1, 5], [("oneway", "yes"), ("name", "Straße Über")])]
+    dn, dw = _roundtrip(nodes, ways)
+    assert dn == [(1, 485_000_000, 113_000_000, {"highway": "residential"}),
+                  (5, 485_000_100, 112_999_900, {})]
+    assert dw == [(10, [1, 5], {"oneway": "yes", "name": "Straße Über"})]
+
+
+def test_negative_coords_and_backward_deltas():
+    # southern/western hemisphere + ids that DECREASE (negative zigzag delta)
+    nodes = [
+        (1_000_000, -338_000_000, -702_000_000, []),
+        (7, -900_000_000, 1_799_999_999, [("k", "v")]),
+    ]
+    dn, _ = _roundtrip(nodes)
+    assert [(n[0], n[1], n[2]) for n in dn] == [
+        (1_000_000, -338_000_000, -702_000_000),
+        (7, -900_000_000, 1_799_999_999),
+    ]
+
+
+def test_empty_block():
+    assert _roundtrip([]) == ([], [])
+
+
+def test_string_table_dedup():
+    # the same key/value must be stored once; blob stays small
+    nodes = [(i, 0, 0, [("highway", "residential")]) for i in range(1000)]
+    blob = pbf.encode_blob(nodes)
+    assert len(blob) < 3000  # ~2 bytes/node after delta + dedup + zlib
+    dn, _ = _roundtrip(nodes)
+    assert len(dn) == 1000 and dn[500][3] == {"highway": "residential"}
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**50),
+            st.integers(min_value=-900_000_000, max_value=900_000_000),
+            st.integers(min_value=-1_800_000_000, max_value=1_800_000_000),
+            st.lists(
+                st.tuples(st.text(max_size=8), st.text(max_size=8)),
+                max_size=3,
+            ),
+        ),
+        max_size=20,
+    )
+)
+def test_roundtrip_property(raw):
+    # dict(tags) collapses duplicate keys -- normalize expectation the same way
+    nodes = [(i, la, lo, t) for i, la, lo, t in raw]
+    dn, _ = _roundtrip(nodes)
+    assert dn == [(i, la, lo, dict(t)) for i, la, lo, t in nodes]
