@@ -41,16 +41,12 @@ def cmd_pipeline(args) -> None:
     metrics: dict = {}
     city = synth.city_to_spark(spark, synth.synthetic_city(args.scale))
     if args.warehouse:
+        # every stage boundary inside the pipeline is a durable snapshot;
+        # --resume (the default behavior of Snapshotter) skips committed
+        # stages, so a killed run restarts after its last commit
         snap = Snapshotter(spark, args.warehouse)
-        if args.resume and snap.is_done("final_edges") and snap.is_done("final_nodes"):
-            nodes, edges = snap.load("final_nodes"), snap.load("final_edges")
-        else:
-            nodes_e, edges_e = pipeline.run_enrichment(spark, city, metrics)
-            nodes_e = snap.stage("enriched_nodes", lambda: nodes_e, "osmid")
-            edges_e = snap.stage("enriched_edges", lambda: edges_e, "osmid")
-            nodes, edges = pipeline.run_simplification(spark, nodes_e, edges_e, metrics=metrics)
-            nodes = snap.stage("final_nodes", lambda: nodes, "g_id")
-            edges = snap.stage("final_edges", lambda: edges, "g_id")
+        nodes, edges = pipeline.run_full(spark, city, metrics, snap=snap)
+        nodes = snap.stage("final_nodes", lambda: nodes, "g_id")
     else:
         nodes, edges = pipeline.run_full(spark, city, metrics)
     print(json.dumps({"nodes": nodes.count(), "edges": edges.count(), "metrics": metrics}))
@@ -79,8 +75,13 @@ def main(argv=None) -> None:
 
     pp = sub.add_parser("pipeline")
     pp.add_argument("--scale", type=int, default=1)
-    pp.add_argument("--warehouse", default=None)
-    pp.add_argument("--resume", action="store_true")
+    pp.add_argument(
+        "--warehouse", default=None,
+        help="durable stage snapshots; committed stages always resume -- "
+        "point at a fresh dir for a from-scratch run",
+    )
+    pp.add_argument("--resume", action="store_true",
+                    help="kept for compatibility; resume is implied by --warehouse")
     pp.set_defaults(fn=cmd_pipeline)
 
     ps = sub.add_parser("snap")

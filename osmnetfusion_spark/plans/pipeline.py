@@ -21,59 +21,112 @@ NODE_TAG_COLS = [
 ]
 
 
+def _stager(snap, prefix: str):
+    """Stage-boundary materializer.
+
+    With a ``checkpoint.Snapshotter`` (the at-scale default: snapshots
+    survive executor/driver loss and a restarted run SKIPS completed
+    stages -- the closure is never invoked, so no upstream job runs),
+    each boundary is a durable table + manifest commit. Without one
+    (single-host fast path: tests, bench), it is a ``localCheckpoint``,
+    which truncates lineage but is forfeited on executor loss.
+    """
+
+    def bound(name: str, key: str, fn):
+        if snap is not None:
+            return snap.stage(f"{prefix}{name}", fn, key)
+        return fn().localCheckpoint()
+
+    return bound
+
+
 def run_enrichment(
-    spark: SparkSession, tables: dict[str, DataFrame], metrics: dict | None = None
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    metrics: dict | None = None,
+    snap=None,
 ) -> tuple[DataFrame, DataFrame]:
     """p2_enrichData.main (:706-756) over the synthetic-city tables.
 
-    Stage boundaries are materialized (localCheckpoint; Iceberg-table
-    snapshots via :mod:`..checkpoint` when a warehouse path is given):
-    each operator's plan stays small instead of accumulating a
-    hundreds-of-columns Catalyst tree that re-optimizes at every action.
+    Stage boundaries are materialized (durable :mod:`..checkpoint`
+    snapshots when ``snap`` is given -- the at-scale default; otherwise
+    localCheckpoint): each operator's plan stays small instead of
+    accumulating a hundreds-of-columns Catalyst tree that re-optimizes at
+    every action. Stage bodies are closures so a resumed run never
+    executes the plans of completed stages.
     """
     import time as _time
 
     m = metrics if metrics is not None else {}
     _t = [_time.time()]
+    bound = _stager(snap, "enrich_")
 
     def lap(name):
         now = _time.time()
         m[f"t_enrich_{name}"] = round(now - _t[0], 2)
         _t[0] = now
 
-    edges = tables["edges"].withColumn("edge_id", F.col("osmid"))
-    edges = edges.withColumn("length", enrich.polyline_length_col(F.col("geometry")))
+    edges0 = tables["edges"].withColumn("edge_id", F.col("osmid"))
+    edges0 = edges0.withColumn("length", enrich.polyline_length_col(F.col("geometry")))
     nodes = tables["nodes"].localCheckpoint()
 
-    edges = enrich.landuse_ratio_all(
-        edges,
-        [
-            ("green", tables["landuse_green"]),
-            ("retail", tables["landuse_retail"]),
-            ("building", tables["landuse_building"]),
-        ],
-    ).localCheckpoint()
+    edges = bound(
+        "landuse", "edge_id",
+        lambda: enrich.landuse_ratio_all(
+            edges0,
+            [
+                ("green", tables["landuse_green"]),
+                ("retail", tables["landuse_retail"]),
+                ("building", tables["landuse_building"]),
+            ],
+        ),
+    )
     lap("landuse")
 
     # bike-edge labeling + cycleway cascade are pure column logic / self-
     # joins on the checkpointed landuse output -- keep them lazy and fold
-    # them into the gradient-stage materialization
-    edges = enrich.improve_bike_edges(edges)
-    edges = enrich.add_cycle_paths(edges)
-    nodes, edges = enrich.add_gradient(nodes, edges, tables["elevations"])
-    nodes = enrich.add_traffic_lights(nodes, tables["traffic_signals"]).localCheckpoint()
-    edges = enrich.add_cycle_path_width(edges, tables["cycle_path_widths"])
-    edges = edges.localCheckpoint()
+    # them into the gradient-stage materialization. add_gradient yields
+    # (nodes, edges); memoize so the two stage closures share one build.
+    _g: dict = {}
+
+    def _gradient():
+        if "v" not in _g:
+            e = enrich.improve_bike_edges(edges)
+            e = enrich.add_cycle_paths(e)
+            n, e = enrich.add_gradient(nodes, e, tables["elevations"])
+            _g["v"] = (n, e)
+        return _g["v"]
+
+    nodes2 = bound(
+        "signal_nodes", "osmid",
+        lambda: enrich.add_traffic_lights(_gradient()[0], tables["traffic_signals"]),
+    )
+    edges = bound(
+        "gradient_edges", "edge_id",
+        lambda: enrich.add_cycle_path_width(_gradient()[1], tables["cycle_path_widths"]),
+    )
     lap("gradient_signals")
-    edges = enrich.add_bicycle_parking(edges, tables["bike_amenities"]).localCheckpoint()
+    edges = bound(
+        "amenity_edges", "edge_id",
+        lambda: enrich.add_bicycle_parking(edges, tables["bike_amenities"]),
+    )
     lap("amenities")
-    edges = enrich.add_pt_stops(edges, tables["pt_stops"]).localCheckpoint()
+    edges = bound(
+        "pt_edges", "edge_id",
+        lambda: enrich.add_pt_stops(edges, tables["pt_stops"]),
+    )
     lap("pt_stops")
-    nodes, edges = enrich.update_idxs(nodes, edges)
-    nodes = nodes.localCheckpoint()
-    edges = edges.localCheckpoint()
+    _i: dict = {}
+
+    def _idxs():
+        if "v" not in _i:
+            _i["v"] = enrich.update_idxs(nodes2, edges)
+        return _i["v"]
+
+    out_nodes = bound("nodes", "osmid", lambda: _idxs()[0])
+    out_edges = bound("edges", "osmid", lambda: _idxs()[1])
     lap("idxs")
-    return nodes, edges
+    return out_nodes, out_edges
 
 
 def run_simplification(
@@ -82,12 +135,19 @@ def run_simplification(
     edges: DataFrame,
     cluster_threshold: int = simplify.CLUSTER_THRESHOLD,
     metrics: dict | None = None,
+    snap=None,
 ) -> tuple[DataFrame, DataFrame]:
-    """p3 steps 1-13. Returns (final_nodes, final_edges)."""
+    """p3 steps 1-13. Returns (final_nodes, final_edges).
+
+    With ``snap`` each step boundary is a durable snapshot; a restarted
+    run resumes after the last committed step (the stage closures are
+    never invoked for completed steps, so no upstream jobs run).
+    """
     import time as _time
 
     m = metrics if metrics is not None else {}
     _t = [_time.time()]
+    bound = _stager(snap, "p3_")
 
     def lap(name):
         now = _time.time()
@@ -95,12 +155,17 @@ def run_simplification(
         _t[0] = now
 
     # step 1: split curves
-    edges = simplify.split_curves(edges).localCheckpoint()
-    new_nodes = simplify.curve_split_nodes(edges, [])
-    for c in nodes.columns:
-        if c not in new_nodes.columns:
-            new_nodes = new_nodes.withColumn(c, F.lit(None))
-    nodes = nodes.unionByName(new_nodes.select(nodes.columns))
+    in_nodes = nodes
+    edges = bound("s1_edges", "osmid", lambda: simplify.split_curves(edges))
+
+    def _s1_nodes():
+        new_nodes = simplify.curve_split_nodes(edges, [])
+        for c in in_nodes.columns:
+            if c not in new_nodes.columns:
+                new_nodes = new_nodes.withColumn(c, F.lit(None))
+        return in_nodes.unionByName(new_nodes.select(in_nodes.columns))
+
+    nodes = _s1_nodes()
     if metrics is not None:
         m["step1_edges"] = edges.count()
         m["step1_nodes"] = nodes.count()
@@ -109,52 +174,73 @@ def run_simplification(
     # step 2: ranks
     edges = simplify.add_highway_rank(edges)
 
-    # step 3: node importance
-    nodes = simplify.node_importance(nodes, edges)
-
-    # step 4: buffers
-    nodes = simplify.add_buffer_radius(nodes)
-
-    # step 5: cluster pass 1
-    nodes = simplify.cluster_nodes(nodes, spark, cluster_threshold).localCheckpoint()
+    # steps 3-5: node importance -> buffers -> cluster pass 1
+    n3 = nodes
+    nodes = bound(
+        "s5_nodes", "osmid",
+        lambda: simplify.cluster_nodes(
+            simplify.add_buffer_radius(simplify.node_importance(n3, edges)),
+            spark, cluster_threshold,
+        ),
+    )
     if metrics is not None:
         m["step5_clusters"] = nodes.select("merged_by").distinct().count()
     lap("step5")
 
-    # step 6: split edges crossing foreign cluster buffers
-    edges, split_lists = simplify.split_edges_in_buffers(edges, nodes)
-    edges = edges.localCheckpoint()
-    sp_nodes = simplify.buffer_split_nodes(split_lists, nodes)
-    for c in nodes.columns:
-        if c not in sp_nodes.columns:
-            sp_nodes = sp_nodes.withColumn(c, F.lit(None))
-    sp_nodes = sp_nodes.withColumn("merged_by", F.col("merged_by_hint")).withColumn(
-        "buf_r", simplify._map_lookup(F.col("highway_conn"), simplify.HIGHWAY_BUFFERS, simplify.BUFFER_DEFAULT)
-    )
-    # split nodes: cx/cy provisional = own coords until pass 2
-    sp_nodes = sp_nodes.withColumn("cx", F.col("x")).withColumn("cy", F.col("y"))
-    # materialize: pass-2 clustering runs several actions over this union;
-    # without a checkpoint each one re-executes the step-6 split lineage
-    nodes = nodes.unionByName(sp_nodes.select(nodes.columns)).localCheckpoint()
+    # step 6: split edges crossing foreign cluster buffers.
+    # split_edges_in_buffers yields (edges, split_lists); memoize so the
+    # two stage closures share one build on a fresh run and NEITHER runs
+    # on resume.
+    e6, n5 = edges, nodes
+    _s6: dict = {}
+
+    def _splits():
+        if "v" not in _s6:
+            e, sl = simplify.split_edges_in_buffers(e6, n5)
+            _s6["v"] = (e, sl.localCheckpoint())
+        return _s6["v"]
+
+    def _s6_nodes():
+        sp_nodes = simplify.buffer_split_nodes(_splits()[1], n5)
+        for c in n5.columns:
+            if c not in sp_nodes.columns:
+                sp_nodes = sp_nodes.withColumn(c, F.lit(None))
+        sp_nodes = sp_nodes.withColumn("merged_by", F.col("merged_by_hint")).withColumn(
+            "buf_r", simplify._map_lookup(F.col("highway_conn"), simplify.HIGHWAY_BUFFERS, simplify.BUFFER_DEFAULT)
+        )
+        # split nodes: cx/cy provisional = own coords until pass 2
+        sp_nodes = sp_nodes.withColumn("cx", F.col("x")).withColumn("cy", F.col("y"))
+        return n5.unionByName(sp_nodes.select(n5.columns))
+
+    edges = bound("s6_edges", "osmid", lambda: _splits()[0])
+    # pass-2 clustering runs several actions over this union; without the
+    # boundary each one re-executes the step-6 split lineage
+    nodes = bound("s6_nodes", "osmid", _s6_nodes)
     if metrics is not None:
         m["step6_edges"] = edges.count()
         m["step6_nodes"] = nodes.count()
     lap("step6")
 
     # step 7: cluster pass 2 (same buffers, reference BUFFERS_2 == _1)
-    nodes = (
-        nodes.withColumnRenamed("merged_by", "merged_by_p1")
-        .withColumnRenamed("cx", "cx_p1")
-        .withColumnRenamed("cy", "cy_p1")
-    )
-    nodes = simplify.cluster_nodes(spark=spark, nodes=nodes, threshold=cluster_threshold, pass2=True)
-    nodes = nodes.drop("merged_by_p1", "cx_p1", "cy_p1").localCheckpoint()
+    n6 = nodes
+
+    def _s7():
+        n = (
+            n6.withColumnRenamed("merged_by", "merged_by_p1")
+            .withColumnRenamed("cx", "cx_p1")
+            .withColumnRenamed("cy", "cy_p1")
+        )
+        n = simplify.cluster_nodes(spark=spark, nodes=n, threshold=cluster_threshold, pass2=True)
+        return n.drop("merged_by_p1", "cx_p1", "cy_p1")
+
+    nodes = bound("s7_nodes", "osmid", _s7)
     if metrics is not None:
         m["step7_clusters"] = nodes.select("merged_by").distinct().count()
     lap("step7")
 
     # step 8: reassign edges to cluster reps
-    edges = simplify.reassign_nodes(edges, nodes).localCheckpoint()
+    e7, n7 = edges, nodes
+    edges = bound("s8_edges", "osmid", lambda: simplify.reassign_nodes(e7, n7))
     lap("step8")
 
     # step 9: degree-2 contraction is DISABLED in the reference
@@ -167,12 +253,12 @@ def run_simplification(
         m["step10_nodes"] = final_nodes.count()
     lap("step10")
 
-    # step 11-12: merge parallel edges, fold tags, assemble
-    edges = edges.withColumn("osmid_i", F.col("osmid"))
-    links = merge.merge_edges(edges)
-
-    # step 13: finalize (reindex, reversed-swap)
-    final_edges = merge.finalize_edges(links).localCheckpoint()
+    # step 11-13: merge parallel edges, fold tags, assemble, finalize
+    e8 = edges
+    final_edges = bound(
+        "final_edges", "g_id",
+        lambda: merge.finalize_edges(merge.merge_edges(e8.withColumn("osmid_i", F.col("osmid")))),
+    )
     if metrics is not None:
         m["step12_edges"] = final_edges.count()
     lap("step11_13")
@@ -182,6 +268,11 @@ def run_simplification(
     return final_nodes, final_edges
 
 
-def run_full(spark: SparkSession, tables: dict[str, DataFrame], metrics: dict | None = None):
-    nodes, edges = run_enrichment(spark, tables, metrics=metrics)
-    return run_simplification(spark, nodes, edges, metrics=metrics)
+def run_full(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    metrics: dict | None = None,
+    snap=None,
+):
+    nodes, edges = run_enrichment(spark, tables, metrics=metrics, snap=snap)
+    return run_simplification(spark, nodes, edges, metrics=metrics, snap=snap)
