@@ -480,13 +480,12 @@ Q_SIMHASH_SQL = f"""
 def q_minhash_bands(spark, sf_dir):
     """MinHash signatures (first 8 hashes as columns -> oracle-friendly).
 
-    Shingle hashes are materialized once in a first projection; the eight
-    affine re-hash minima then read the array column (CollapseProject keeps
-    the expensive array out of the duplicated expressions).
-    """
+    Shingle hashes come from the Arrow-batched kernel (the column-expr
+    version's nested HOFs are interpreted, measured 14 s for 5,000 docs);
+    the eight affine re-hash minima then read the array column."""
     d = _t(spark, sf_dir, "documents")
     base = d.select(
-        "doc_id", dedup.shingle_hashes(F.col("text"), 3).alias("__sh")
+        "doc_id", dedup.shingle_hashes_fast(3)(F.col("text")).alias("__sh")
     ).filter(F.size("__sh") > 0)
 
     def mh(i: int):

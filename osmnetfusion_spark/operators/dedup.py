@@ -18,10 +18,13 @@ scale the only shuffles are the groupBys/joins listed per function.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import POLY_MOD, poly_hash, poly_hash_sql, tokens_col, tokens_sql
+from .textstats import (
+    POLY_BASE, POLY_MOD, poly_hash, poly_hash_sql, tokens_col, tokens_sql,
+)
 
 # deterministic affine MinHash parameters (public constants, any odd a works)
 MINHASH_A = [2 * k + 1 for k in range(1, 65)]
@@ -80,6 +83,52 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     return F.array_sort(F.array_distinct(grams))
 
 
+def shingle_hashes_fast(n: int = 3):
+    """Arrow-batched twin of :func:`shingle_hashes` -- same values, ~15x
+    faster.
+
+    The column version's nested higher-order functions (``transform`` /
+    ``aggregate`` with a per-character lambda) are INTERPRETED by Catalyst,
+    not whole-stage-codegen'd: measured ~2.8 ms/doc (14 s for 5,000 docs at
+    sf0.1), which made the shingle kernel -- not the joins -- the dedup
+    bottleneck. This pandas UDF reproduces the exact integer arithmetic
+    (31-polynomial char hash, GRAM_BASE shingle fold, mod 1e9+7; Python
+    ints are exact), so DuckDB oracle parity is preserved value-for-value.
+    The column/SQL versions remain as the oracle-side definition.
+    """
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    tok_re = _re.compile(r"[^a-z0-9]+")
+
+    @_pandas_udf("array<long>")
+    def kernel(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            th = []
+            for tok in tok_re.split(("" if t is None else t).lower()):
+                if not tok:
+                    continue
+                h = 0
+                for ch in tok:
+                    h = (h * POLY_BASE + ord(ch)) % POLY_MOD
+                th.append(h)
+            if len(th) < n:
+                out.append([])
+                continue
+            grams = set()
+            for i in range(len(th) - n + 1):
+                g = 0
+                for j in range(i, i + n):
+                    g = (g * GRAM_BASE + th[j]) % POLY_MOD
+                grams.add(g)
+            out.append(sorted(grams))
+        return pd.Series(out)
+
+    return kernel
+
+
 def shingle_hashes_sql(text: str, n: int = 3) -> str:
     toks = tokens_sql(text)
     tok_hashes = f"list_transform({toks}, t -> {poly_hash_sql('t')})"
@@ -107,19 +156,49 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs with shingle-set Jaccard >= threshold.
 
-    Blocking: self-join restricted to ``block_col`` equality (both sides of
-    the oracle apply the same blocking, so results match by construction).
-    At web scale the block key bounds the quadratic term; the MinHash/LSH
-    operator below replaces it when no natural block exists.
+    Candidate generation is a SHARED-SHINGLE equi-join, not an all-pairs
+    block product: explode each doc's shingle hashes (narrow rows), self-
+    join on (block, shingle) -- any pair with Jaccard >= t > 0 shares at
+    least one shingle, so this is LOSSLESS -- then a size-ratio prefilter
+    (J <= min|sz|/max|sz|, also lossless) before the exact intersect runs
+    on the surviving candidates only. Shuffle volume is O(total shingles),
+    never O(block^2): measured 87.6 s -> sub-second at sf0.1 (5,000 docs,
+    ~3M block pairs vs ~130k shared-shingle candidates).
+
+    ``block_col`` equality still restricts the search (both sides of the
+    oracle apply the same blocking, so results match by construction);
+    hot shingles bound the worst case at df^2 per shingle -- the
+    MinHash/LSH operator below is the alternative when shingle document
+    frequency is unbounded.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
-        shingle_hashes(F.col(text_col), n).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    a = base.select(F.col("id").alias("id_a"), F.col("blk"), F.col("sh").alias("sh_a"))
-    b = base.select(F.col("id").alias("id_b"), F.col("blk"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    assert threshold > 0.0, "shared-shingle candidates require threshold > 0"
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+            shingle_hashes_fast(n)(F.col(text_col)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        # evaluated by the candidate explode AND both array join-backs:
+        # materialize once instead of paying the shingle kernel 3x
+        .localCheckpoint()
+    )
+    ex = base.select("id", "blk", F.size("sh").alias("sz"), F.explode("sh").alias("h"))
+    a = ex.select(F.col("id").alias("id_a"), "blk", F.col("sz").alias("sz_a"), "h")
+    b = ex.select(F.col("id").alias("id_b"), "blk", F.col("sz").alias("sz_b"), "h")
+    cand = (
+        a.join(b, ["blk", "h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("sz_a", "sz_b").cast("double")
+            >= F.lit(float(threshold)) * F.greatest("sz_a", "sz_b").cast("double")
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union.cast("double")
@@ -167,12 +246,24 @@ def lsh_candidate_pairs(
     exact Jaccard for verification.
     """
     r = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("__text"),
-        minhash_signature(F.col(text_col), num_hashes, n).alias("sig"),
-        shingle_hashes(F.col(text_col), n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+
+    def rehash(i: int):
+        a, b = MINHASH_A[i], MINHASH_B[i]
+        return lambda h: (F.lit(a) * h + F.lit(b)) % POLY_MOD
+
+    sigs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes_fast(n)(F.col(text_col)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .select(
+            "id", "sh",
+            F.array(
+                *[F.array_min(F.transform(F.col("sh"), rehash(i))) for i in range(num_hashes)]
+            ).alias("sig"),
+        )
+    )
     banded = sigs.select(
         "id", "sh",
         F.explode(

@@ -70,3 +70,31 @@ def test_roundtrip_property(raw):
     nodes = [(i, la, lo, t) for i, la, lo, t in raw]
     dn, _ = _roundtrip(nodes)
     assert dn == [(i, la, lo, dict(t)) for i, la, lo, t in nodes]
+
+
+def test_shingle_fast_kernel_matches_column_kernel(spark):
+    """The Arrow-batched shingle kernel must produce byte-identical arrays
+    to the interpreted column-expression definition (the oracle side)."""
+    from pyspark.sql import functions as F
+
+    from osmnetfusion_spark.operators import dedup
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "the the the the",
+        "", "   ", "a b", "punct!!! and, more; tokens... here ok 123 456 789",
+        "MiXeD CaSe ToKeNs REPEAT repeat RePeAt tail one two three",
+        None,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = (
+        df.select(
+            "i",
+            dedup.shingle_hashes(F.col("t"), 3).alias("col_v"),
+            dedup.shingle_hashes_fast(3)(F.col("t")).alias("fast_v"),
+        )
+        .collect()
+    )
+    for r in got:
+        cv = r.col_v if r.col_v is not None else []
+        assert list(r.fast_v) == list(cv), f"row {r.i}: {r.fast_v} != {cv}"
