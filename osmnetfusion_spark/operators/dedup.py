@@ -217,6 +217,11 @@ def minhash_signature(text: Column, num_hashes: int = 16, n: int = 3) -> Column:
 
     sig_i = min over shingles s of (a_i * poly(s) + b_i) mod P. Empty
     shingle set -> nulls (filtered by callers).
+
+    Definitional column form (exact SQL twin); hot paths should compute
+    the shingle array via :func:`shingle_hashes_fast` and apply the
+    re-hash minima to that column instead (see :func:`lsh_candidate_pairs`)
+    -- the nested HOFs here are interpreted, ~15x slower.
     """
     sh = shingle_hashes(text, n)
 
@@ -271,10 +276,13 @@ def lsh_candidate_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda bnd: F.struct(
                     bnd.alias("band"),
+                    # fold keeps acc < POLY_MOD (~2^30), so acc*GRAM_BASE+h
+                    # peaks ~2^50 -- no 64-bit overflow (acc*2^61-range
+                    # folds overflow under ANSI mode)
                     F.aggregate(
                         F.slice("sig", bnd * r + 1, r),
                         F.lit(0).cast("long"),
-                        lambda acc, h: (acc * POLY_MOD + h) % F.lit(2**61 - 1),
+                        lambda acc, h: (acc * GRAM_BASE + h) % POLY_MOD,
                     ).alias("bh"),
                 ),
             )

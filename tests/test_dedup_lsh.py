@@ -1,0 +1,65 @@
+"""MinHash-LSH banding: candidate recall + exact-Jaccard verification.
+
+Also a regression pin for the band-hash fold overflow: the original
+``acc * POLY_MOD`` fold against a 2^61-1 modulus overflowed 64-bit longs
+under ANSI mode as soon as a band had >= 2 rows.
+"""
+
+from pyspark.sql import functions as F
+
+from osmnetfusion_spark.operators import dedup
+
+
+def _docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # exact dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),  # near dup
+        (4, "completely different words nothing shared here at all folks"),
+        (5, "yet another unrelated document with its own vocabulary set"),
+        (6, "completely different words nothing shared here at all folks"),  # dup of 4
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_candidates_recall_exact_dups(spark):
+    """Identical texts (Jaccard 1.0) share every band hash, so LSH must
+    surface ALL exact-duplicate pairs with jaccard == 1.0; every reported
+    jaccard must match the exact shingle-set computation."""
+    d = _docs(spark)
+    lsh = dedup.lsh_candidate_pairs(d, num_hashes=16, bands=4).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in lsh}
+
+    assert got.get((1, 2)) == 1.0
+    assert got.get((4, 6)) == 1.0
+    # the near-dup (8/12 shared 3-gram shingles) should bucket together too
+    assert (1, 3) in got and 0 < got[(1, 3)] < 1.0
+
+    # every reported jaccard matches the exact shingle-set definition
+    sh = {
+        r.doc_id: set(r.sh)
+        for r in d.select(
+            "doc_id", dedup.shingle_hashes_fast(3)(F.col("text")).alias("sh")
+        ).collect()
+    }
+    for (a, b), j in got.items():
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        assert j == round(inter / union, 6), (a, b)
+
+
+def test_lsh_scales_without_overflow(spark):
+    """Many docs through the band fold (ANSI mode): no long overflow, and
+    unrelated docs do not flood the candidate set."""
+    base = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("doc "), F.col("id").cast("string"),
+            F.lit(" body token"), (F.col("id") % 7).cast("string"),
+            F.lit(" filler words vary "), (F.col("id") * 31 % 97).cast("string"),
+            F.lit(" tail "), (F.col("id") * 17 % 89).cast("string"),
+        ).alias("text"),
+    )
+    out = dedup.lsh_candidate_pairs(base, num_hashes=16, bands=4)
+    n = out.count()
+    assert n < 400 * 20, f"candidate explosion: {n}"
