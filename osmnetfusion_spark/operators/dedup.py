@@ -179,9 +179,11 @@ def jaccard_pairs(
             shingle_hashes_fast(n)(F.col(text_col)).alias("sh"),
         )
         .filter(F.size("sh") > 0)
-        # evaluated by the candidate explode AND both array join-backs:
-        # materialize once instead of paying the shingle kernel 3x
-        .localCheckpoint()
+        # referenced by the candidate explode AND both array join-backs:
+        # lazily checkpoint so the shingle kernel runs once, not 3x
+        # (eager=False: no job at plan-construction time; the three
+        # consumers share the one materialization inside the action)
+        .localCheckpoint(eager=False)
     )
     ex = base.select("id", "blk", F.size("sh").alias("sz"), F.explode("sh").alias("h"))
     a = ex.select(F.col("id").alias("id_a"), "blk", F.col("sz").alias("sz_a"), "h")
