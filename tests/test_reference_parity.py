@@ -400,7 +400,11 @@ def mini_p3_counts(nodes: pd.DataFrame, edges: pd.DataFrame, threshold: int = CL
 
 @pytest.fixture(scope="module")
 def pipeline_run(spark):
-    city = synth.synthetic_city(scale=1)
+    import os
+
+    # scale 1 in CI; set SPARK_GRAFT_PARITY_SCALE=2 for the bigger city
+    # (verified green at scale 2; ~2 min extra, so not the default)
+    city = synth.synthetic_city(scale=int(os.environ.get("SPARK_GRAFT_PARITY_SCALE", "1")))
     tables = synth.city_to_spark(spark, city)
     metrics: dict = {}
     nodes, edges = pipeline.run_enrichment(spark, tables, metrics=metrics)
