@@ -1764,6 +1764,46 @@ Q_MEDIA_DECODE_SQL = """
 """
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """End-to-end near-dup dedupe -- the LLM-corpus pipeline composition:
+    lossless shared-shingle candidate join -> exact Jaccard >= 0.8 ->
+    connected components over the duplicate graph (iterative hash-min
+    label propagation, the at-scale CC path) -> canonical keep id = min
+    member of each duplicate cluster. One row per doc in any cluster."""
+    from .plans.simplify import _cc_iterative
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, n=3, threshold=0.8, block_col="lang")
+    comp = _cc_iterative(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")), spark
+    )
+    return comp.select(
+        F.col("osmid").alias("doc_id"),
+        F.col("component").alias("keep_id"),
+        (F.col("osmid") != F.col("component")).alias("is_dup"),
+    ).orderBy("doc_id")
+
+
+Q_DEDUP_PIPELINE_SQL = f"""
+  WITH RECURSIVE s AS (SELECT doc_id, lang, {_SH} AS sh FROM documents),
+  sf AS (SELECT * FROM s WHERE length(sh) > 0),
+  p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sf a JOIN sf b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(length(list_intersect(a.sh, b.sh)) * 1.0 /
+          (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))), 6)
+          >= 0.8),
+  e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+  n AS (SELECT DISTINCT a AS node FROM e),
+  reach(node, lbl) AS (
+    SELECT node, node FROM n
+    UNION
+    SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node)
+  SELECT node AS doc_id, min(lbl) AS keep_id, node != min(lbl) AS is_dup
+  FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1815,4 +1855,5 @@ QUERIES = {
     "q_cluster_kmeans": (q_cluster_kmeans, Q_CLUSTER_KMEANS_SQL),
     "q_pbf_roundtrip": (q_pbf_roundtrip, Q_PBF_ROUNDTRIP_SQL),
     "q_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
+    "q_dedup_pipeline": (q_dedup_pipeline, Q_DEDUP_PIPELINE_SQL),
 }
