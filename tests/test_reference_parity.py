@@ -286,12 +286,35 @@ def _step6_splits(edges: pd.DataFrame, nodes: pd.DataFrame) -> tuple[pd.DataFram
     return pd.DataFrame(out_rows), pd.DataFrame(node_rows, columns=["osmid", "x", "y", "mb_hint"])
 
 
-def _step11_counts(edges: pd.DataFrame) -> int:
-    """Greedy per-uv-pair merge -> number of output AnEdges (step-12 count)."""
+def _step11_counts(edges: pd.DataFrame) -> dict:
+    """Greedy per-uv-pair merge -> AnEdge count + per-mode access tallies
+    (the reference's step-12 per-mode prints, p3_simplification.py:373-380).
+
+    Access flags reuse the engine's pure-pandas rule functions
+    (functions/folds.py access_*_py -- already sequential code with
+    file:line citations into the reference); the twin's contribution is
+    the independent grouping/greedy/direction orchestration around them.
+    """
+    from osmnetfusion_spark.functions import folds, tags
+
     e = edges[edges.new_u != edges.new_v].copy()
+    # merge_edges prep parity: maxspeed -> clean(keep=max); '' -> NaN on
+    # string cols (the engine nullifs every string column pre-shuffle)
+    if "maxspeed" in e.columns:
+        e["maxspeed"] = [tags.clean_float(x, keep="max") for x in e["maxspeed"]]
+    for c in (
+        "highway", "foot", "sidewalk", "bicycle", "cycleway", "bike_access",
+        "bicycle_road", "oneway:bicycle", "cycleway:both", "cycleway:right",
+        "cycleway:left", "cycleway:right:lane", "ramp:bicycle",
+    ):
+        if c in e.columns:
+            e[c] = [
+                np.nan if (isinstance(x, str) and x == "") else x for x in e[c]
+            ]
     e["__ku"] = np.minimum(e.new_u, e.new_v)
     e["__kv"] = np.maximum(e.new_u, e.new_v)
     n_edges = 0
+    n_mode = {"walk": 0, "bike": 0, "motorized": 0}
     for _, g in e.groupby(["__ku", "__kv"]):
         g = g.sort_values(["highway_rank", "osmid"], ascending=[False, True]).reset_index(drop=True)
         n = len(g)
@@ -335,10 +358,23 @@ def _step11_counts(edges: pd.DataFrame) -> int:
                 lower, upper = min(a, b), max(a, b)
                 df.loc[(df.bearing < upper) & (df.bearing > lower), "direction"] = True
             main_dir = bool(df["direction"].iloc[-1])
-            n_edges += 1  # UV always exists (main row matches its own direction)
-            if (df["direction"] != main_dir).any():
+            for uv, rev_flag in ((True, main_dir), (False, not main_dir)):
+                subset = df[df.direction == rev_flag]
+                if len(subset) == 0:
+                    continue  # VU absent when no opposite-direction rows
                 n_edges += 1
-    return n_edges
+                if folds.access_walk_py(subset):
+                    n_mode["walk"] += 1
+                if folds.access_bike_py(subset):
+                    n_mode["bike"] += 1
+                if folds.access_motorized_py(subset):
+                    n_mode["motorized"] += 1
+    return {
+        "step12_edges": n_edges,
+        "edges_walk": n_mode["walk"],
+        "edges_bike": n_mode["bike"],
+        "edges_motorized": n_mode["motorized"],
+    }
 
 
 def mini_p3_counts(nodes: pd.DataFrame, edges: pd.DataFrame, threshold: int = CLUSTER_THRESHOLD) -> dict:
@@ -390,8 +426,8 @@ def mini_p3_counts(nodes: pd.DataFrame, edges: pd.DataFrame, threshold: int = CL
     )
     # step 10
     m["step10_nodes"] = nodes["merged_by"].nunique()
-    # steps 11-12
-    m["step12_edges"] = _step11_counts(edges)
+    # steps 11-12 (+ per-mode access tallies)
+    m.update(_step11_counts(edges))
     return m
 
 
@@ -411,7 +447,19 @@ def pipeline_run(spark):
     nodes = nodes.localCheckpoint()
     edges = edges.localCheckpoint()
     in_nodes = nodes.select("osmid", "x", "y").toPandas()
-    in_edges = edges.select("osmid", "u", "v", "geometry", "length", "highway").toPandas()
+    tag_cols = [
+        c for c in [
+            "foot", "maxspeed", "sidewalk", "bicycle", "cycleway", "oneway",
+            "bike_access", "bicycle_road", "oneway:bicycle", "cycleway:both",
+            "cycleway:right", "cycleway:left", "cycleway:right:lane",
+            "ramp:bicycle",
+        ]
+        if c in edges.columns
+    ]
+    in_edges = edges.select(
+        "osmid", "u", "v", "geometry", "length", "highway",
+        *[f"`{c}`" for c in tag_cols],
+    ).toPandas()
     pipeline.run_simplification(spark, nodes, edges, metrics=metrics)
     return metrics, in_nodes, in_edges
 
