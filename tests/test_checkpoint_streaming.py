@@ -283,3 +283,46 @@ def test_sessionize_stream_equals_batch_sf001(spark, tmp_path):
     for r in want_rows:
         sv = got_sums[(r.user_id, r.session_start)]
         assert abs(sv - r.sum_value_micros / 1e6) <= r.n_events * 1e-6 + 1e-9
+
+
+def test_windowed_counts_drop_late_rows(spark, tmp_path):
+    """Watermark semantics: after the watermark advances past a window's
+    close, a late row for that window is DROPPED by the streaming agg
+    (append mode) while a batch aggregation would still count it."""
+    import datetime as dt
+
+    src = str(tmp_path / "events_src_late")
+    ck = str(tmp_path / "ck_late")
+    out_dir = str(tmp_path / "wc_late_out")
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, SE.EVENT_SCHEMA).write.mode(mode).parquet(src)
+
+    def drain():
+        q = (
+            SE.windowed_counts(
+                SE.read_event_stream(spark, src), window="1 hour", watermark="30 minutes"
+            )
+            .writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(300)
+
+    # batch 1: one event at 12:00 and one at 15:00 -- the 15:00 event
+    # advances the watermark to 14:30, closing the 12:00-13:00 window
+    write(
+        [(1, t0, 1, "a", 1.0, "{}"), (2, t0 + dt.timedelta(hours=3), 1, "a", 1.0, "{}")],
+        "overwrite",
+    )
+    drain()
+    # batch 2: a LATE event for the already-closed 12:00 window
+    write([(3, t0 + dt.timedelta(minutes=5), 1, "a", 100.0, "{}")], "append")
+    drain()
+    got = {
+        r.window_start: (r.n, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    w0 = int(t0.timestamp())
+    assert got[w0] == (1, 1.0), "late row must NOT be merged into the closed window"
