@@ -1804,6 +1804,82 @@ Q_DEDUP_PIPELINE_SQL = f"""
 """
 
 
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation -- the pretraining-data composition:
+    language-ID -> Gopher-style quality gates -> exact dedup (keep the
+    min doc id per identical text) -> per-language corpus stats. Quality
+    gates use INTEGER cross-multiplied forms (stop_hits*20 >= n_tokens,
+    punct*5 <= n_chars) so no float boundary exists anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    toks = textstats.tokens_col(F.col("text"))
+    all_stop = F.array(
+        *[F.lit(w) for lg in textstats.LANGS for w in textstats.STOPWORDS[lg]]
+    )
+    scored = d.select(
+        "doc_id", "text",
+        textstats.lang_id(F.col("text")).alias("lang_pred"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(all_stop, t)))
+        .cast("long").alias("stop_hits"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9\s]", ""))
+        .cast("long").alias("punct"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    kept = scored.filter(
+        (F.col("lang_pred") != "und")
+        & (F.col("n_tokens") >= 10)
+        & (F.col("stop_hits") * 20 >= F.col("n_tokens"))
+        & (F.col("punct") * 5 <= F.col("n_chars"))
+    )
+    deduped = kept.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.min("lang_pred").alias("lang_pred"),  # equal within a text group
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return (
+        deduped.groupBy(
+            "lang_pred",
+            F.floor(F.col("n_tokens") / F.lit(10)).cast("long").alias("tok_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("keep_id").alias("min_keep_id"),
+        )
+        .orderBy("lang_pred", "tok_bucket")
+    )
+
+
+_CUR_TOKS = textstats.tokens_sql("text")
+_CUR_STOP = "[" + ", ".join(
+    f"'{w}'" for lg in textstats.LANGS for w in textstats.STOPWORDS[lg]
+) + "]"
+Q_CORPUS_CURATION_SQL = f"""
+  WITH scored AS (
+    SELECT doc_id, text,
+           {textstats.lang_id_sql('text')} AS lang_pred,
+           CAST(length({_CUR_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(length(list_filter({_CUR_TOKS},
+                t -> list_contains({_CUR_STOP}, t))) AS BIGINT) AS stop_hits,
+           CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                AS BIGINT) AS punct,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents),
+  kept AS (
+    SELECT * FROM scored
+    WHERE lang_pred != 'und' AND n_tokens >= 10
+      AND stop_hits * 20 >= n_tokens AND punct * 5 <= n_chars),
+  deduped AS (
+    SELECT text, min(doc_id) AS keep_id, min(lang_pred) AS lang_pred,
+           min(n_tokens) AS n_tokens
+    FROM kept GROUP BY text)
+  SELECT lang_pred, CAST(floor(n_tokens / 10) AS BIGINT) AS tok_bucket,
+         count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         min(keep_id) AS min_keep_id
+  FROM deduped GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1856,4 +1932,5 @@ QUERIES = {
     "q_pbf_roundtrip": (q_pbf_roundtrip, Q_PBF_ROUNDTRIP_SQL),
     "q_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
     "q_dedup_pipeline": (q_dedup_pipeline, Q_DEDUP_PIPELINE_SQL),
+    "q_corpus_curation": (q_corpus_curation, Q_CORPUS_CURATION_SQL),
 }
