@@ -24,14 +24,53 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def code_fingerprint() -> str:
+    """Content hash over this package's ``.py`` sources.
+
+    Part of the warehouse run-config fingerprint: a warehouse written by a
+    different code version must not silently serve its snapshots to a
+    resumed run.
+    """
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            full = os.path.join(dirpath, fn)
+            h.update(os.path.relpath(full, root).encode())
+            with open(full, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 class Snapshotter:
-    def __init__(self, spark: SparkSession, warehouse: str, run_id: str = "run"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        run_id: str = "run",
+        config: dict | None = None,
+        reuse_mismatched: bool = False,
+    ):
+        """``config`` is the run's fingerprint (scale, code hash, ...).
+
+        A warehouse whose manifest records a DIFFERENT config than this
+        run's is stale: resuming it would silently serve snapshots from
+        the old run (e.g. ``--scale 2`` against a scale-1 warehouse
+        outputs scale-1 data). Default is warn-and-rebuild (committed
+        stages are invalidated and re-run); ``reuse_mismatched=True``
+        (cli ``--resume``) is the explicit opt-in to reuse them anyway.
+        """
         self.spark = spark
         self.warehouse = warehouse
         self.run_id = run_id
@@ -40,6 +79,30 @@ class Snapshotter:
         self.manifest_path = os.path.join(warehouse, "_MANIFEST.json")
         self.metrics_path = os.path.join(warehouse, "_metrics.jsonl")
         self.manifest = self._load_manifest()
+        if config is not None:
+            prev = self.manifest.get("config")
+            if prev is not None and prev != config and self.manifest["stages"]:
+                if reuse_mismatched:
+                    print(
+                        f"WARNING: reusing warehouse {warehouse} with "
+                        f"mismatched config (manifest {prev} != run {config}) "
+                        "because resume was explicitly requested",
+                        file=sys.stderr,
+                    )
+                    # keep the manifest's config: it describes the data
+                    # actually in the warehouse, not this run's request
+                    config = prev
+                else:
+                    print(
+                        f"WARNING: warehouse {warehouse} was written with "
+                        f"config {prev}, this run is {config}; invalidating "
+                        "its snapshots and rebuilding (pass --resume to "
+                        "reuse them anyway)",
+                        file=sys.stderr,
+                    )
+                    self.manifest = {"stages": {}}
+            self.manifest["config"] = config
+            self._commit_manifest()
 
     def _load_manifest(self) -> dict:
         if os.path.exists(self.manifest_path):

@@ -28,7 +28,7 @@ import time
 from pyspark.sql import functions as F
 
 from . import synth
-from .checkpoint import Snapshotter
+from .checkpoint import Snapshotter, code_fingerprint
 from .operators import spatial
 from .plans import pages as PG
 from .plans import pipeline, tiles
@@ -44,7 +44,11 @@ def cmd_pipeline(args) -> None:
         # every stage boundary inside the pipeline is a durable snapshot;
         # --resume (the default behavior of Snapshotter) skips committed
         # stages, so a killed run restarts after its last commit
-        snap = Snapshotter(spark, args.warehouse)
+        snap = Snapshotter(
+            spark, args.warehouse,
+            config={"scale": args.scale, "code": code_fingerprint()},
+            reuse_mismatched=args.resume,
+        )
         nodes, edges = pipeline.run_full(spark, city, metrics, snap=snap)
         nodes = snap.stage("final_nodes", lambda: nodes, "g_id")
     else:
@@ -81,7 +85,9 @@ def main(argv=None) -> None:
         "point at a fresh dir for a from-scratch run",
     )
     pp.add_argument("--resume", action="store_true",
-                    help="kept for compatibility; resume is implied by --warehouse")
+                    help="resume is implied by --warehouse when the run config "
+                    "(scale, code hash) matches the manifest; pass --resume to "
+                    "reuse a MISMATCHED warehouse's snapshots anyway")
     pp.set_defaults(fn=cmd_pipeline)
 
     ps = sub.add_parser("snap")

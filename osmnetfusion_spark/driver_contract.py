@@ -691,10 +691,11 @@ def q_sessionize_batch(spark, sf_dir):
 
 
 Q_SESSIONIZE_SQL = """
-  SELECT user_id, session_idx,
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
          min(tsec) AS session_start, max(tsec) AS session_end,
          count(*) AS n_events,
-         sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS sum_value_micros
+         CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_value_micros
   FROM (
     SELECT user_id, value, tsec,
            sum(gap) OVER (PARTITION BY user_id
@@ -1177,7 +1178,7 @@ Q_AMENITY_RADIUS_SQL = f"""
     FROM ({DOC_POINTS_SQL}) p CROSS JOIN ({SUPPLIER_SEGMENTS_SQL}) s
     WHERE {_DIST6} <= 200.0)
   SELECT edge_id, count(*) AS n_nearby,
-         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_on
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_on
   FROM pr GROUP BY 1 ORDER BY 1
 """
 
@@ -1874,7 +1875,7 @@ Q_CORPUS_CURATION_SQL = f"""
            min(n_tokens) AS n_tokens
     FROM kept GROUP BY text)
   SELECT lang_pred, CAST(floor(n_tokens / 10) AS BIGINT) AS tok_bucket,
-         count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          min(keep_id) AS min_keep_id
   FROM deduped GROUP BY 1, 2 ORDER BY 1, 2
 """

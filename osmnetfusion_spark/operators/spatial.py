@@ -100,13 +100,20 @@ def _input_bytes(df: DataFrame) -> int | None:
     if not files:
         return None
     import os as _os
+    from urllib.parse import urlparse as _urlparse
 
     total = 0
     for f in files:
+        # file:///p and file:/p both occur in Hadoop path renderings;
+        # urlparse handles either (netloc empty, path '/p').
+        path = _urlparse(f).path if "://" in f or f.startswith("file:") else f
         try:
-            total += _os.path.getsize(f[7:] if f.startswith("file:") else f)
+            total += _os.path.getsize(path)
         except OSError:
-            return None
+            # Unreadable size must read as "too big", not "no estimate":
+            # returning None here would silently re-enable the broadcast
+            # hint for a build side we could not size (unsafe direction).
+            return float("inf")
     return total
 
 

@@ -90,8 +90,11 @@ def landuse_ratio(
         F.element_at(F.col("geometry"), 1)[0].alias("lon"),
     )
     # point within buffer <=> dist(point, polyline) <= buffer
-    near = spatial.knn_join_segments(
-        pts, segs, radius_m=point_buffer_m, k=1_000_000,
+    # Membership-only: radius join has no per-point ranking window, so
+    # dense cells don't pay a row_number over every in-radius candidate
+    # (same redesign as add_bicycle_parking, round 2).
+    near = spatial.radius_join_segments(
+        pts, segs, radius_m=point_buffer_m,
         point_id="layer_id", seg_id="edge_id", broadcast_build=False,
     )
     pt_counts = near.groupBy("edge_id").agg(F.count(F.lit(1)).alias(f"{kind}_points"))
@@ -170,8 +173,11 @@ def landuse_ratio_all(
         F.element_at(F.col("geometry"), 1)[1].alias("lat"),
         F.element_at(F.col("geometry"), 1)[0].alias("lon"),
     )
-    near = spatial.knn_join_segments(
-        pts, segs, radius_m=point_buffer_m, k=1_000_000,
+    # Membership-only: radius join has no per-point ranking window, so
+    # dense cells don't pay a row_number over every in-radius candidate
+    # (same redesign as add_bicycle_parking, round 2).
+    near = spatial.radius_join_segments(
+        pts, segs, radius_m=point_buffer_m,
         point_id="layer_id", seg_id="edge_id", broadcast_build=False,
     )
     pt_counts = (

@@ -15,12 +15,19 @@ Spark-splittable: one blob per row, blobs parsed in parallel):
     blob        := zlib(block)
     block       := string_table record*
     string_table:= varint n, n x (varint len, utf8 bytes)
-    record      := varint kind (1=node, 2=way)
+    record      := varint kind (1=node, 2=way, 3=relation)
                    node: svarint id_delta, svarint lat_delta, svarint lon_delta,
                          varint n_tags, n_tags x (varint k_idx, varint v_idx)
                    way:  svarint id_delta, varint n_refs,
                          n_refs x svarint ref_delta,
                          varint n_tags, n_tags x (varint k_idx, varint v_idx)
+                   rel:  svarint id_delta, varint n_members,
+                         n_members x (varint type_idx, svarint ref_delta,
+                                      varint role_idx),
+                         varint n_tags, n_tags x (varint k_idx, varint v_idx)
+                         (member refs delta-coded within the relation, as
+                         real PBF delta-codes Relation.memids; member type
+                         and role are string-table entries)
 
 Coordinates are integers in 1e-7 degree units (real PBF granularity).
 Deltas reset per block. The decoder is a vectorized ``mapInPandas`` over a
@@ -36,7 +43,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-NODE, WAY = 1, 2
+NODE, WAY, RELATION = 1, 2, 3
 
 # ------------------------------------------------------------------ varints
 
@@ -82,10 +89,16 @@ def _read_sv(buf: bytes, pos: int) -> tuple[int, int]:
 def encode_blob(
     nodes: list[tuple[int, int, int, list[tuple[str, str]]]],
     ways: list[tuple[int, list[int], list[tuple[str, str]]]] = (),
+    relations: list[
+        tuple[int, list[tuple[str, int, str]], list[tuple[str, str]]]
+    ] = (),
 ) -> bytes:
     """One block -> compressed blob.
 
-    nodes: (id, lat_1e7, lon_1e7, [(k, v), ...]); ways: (id, refs, tags).
+    nodes: (id, lat_1e7, lon_1e7, [(k, v), ...]); ways: (id, refs, tags);
+    relations: (id, [(member_type, member_ref, role), ...], tags) with
+    member_type one of 'n'/'w'/'r' (osmium's m.type values,
+    p1_getFurtherOSMData.py:104-108).
     """
     strings: list[str] = []
     sidx: dict[str, int] = {}
@@ -122,6 +135,22 @@ def encode_blob(
         for k, v in tags:
             _uv(body, s(k))
             _uv(body, s(v))
+    prev_id = 0
+    for rid, members, tags in relations:
+        _uv(body, RELATION)
+        _sv(body, rid - prev_id)
+        prev_id = rid
+        _uv(body, len(members))
+        pr = 0
+        for mtype, mref, role in members:
+            _uv(body, s(mtype))
+            _sv(body, mref - pr)
+            pr = mref
+            _uv(body, s(role))
+        _uv(body, len(tags))
+        for k, v in tags:
+            _uv(body, s(k))
+            _uv(body, s(v))
 
     head = bytearray()
     _uv(head, len(strings))
@@ -144,9 +173,9 @@ def _decode_blob(blob: bytes):
         ln, pos = _read_uv(buf, pos)
         strings.append(buf[pos : pos + ln].decode("utf-8"))
         pos += ln
-    nodes, ways = [], []
+    nodes, ways, relations = [], [], []
     prev_nid = prev_lat = prev_lon = 0
-    prev_wid = 0
+    prev_wid = prev_rid = 0
     end = len(buf)
     while pos < end:
         kind, pos = _read_uv(buf, pos)
@@ -180,15 +209,38 @@ def _decode_blob(blob: bytes):
                 vi, pos = _read_uv(buf, pos)
                 tags[strings[ki]] = strings[vi]
             ways.append((prev_wid, refs, tags))
+        elif kind == RELATION:
+            d, pos = _read_sv(buf, pos)
+            prev_rid += d
+            nm, pos = _read_uv(buf, pos)
+            members, pr = [], 0
+            for _ in range(nm):
+                ti, pos = _read_uv(buf, pos)
+                d, pos = _read_sv(buf, pos)
+                pr += d
+                ri, pos = _read_uv(buf, pos)
+                members.append((strings[ti], pr, strings[ri]))
+            nt, pos = _read_uv(buf, pos)
+            tags = {}
+            for _ in range(nt):
+                ki, pos = _read_uv(buf, pos)
+                vi, pos = _read_uv(buf, pos)
+                tags[strings[ki]] = strings[vi]
+            relations.append((prev_rid, members, tags))
         else:
             raise ValueError(f"unknown record kind {kind}")
-    return nodes, ways
+    return nodes, ways, relations
 
 
 NODE_SCHEMA = (
     "node_id long, lat_1e7 long, lon_1e7 long, tags map<string,string>"
 )
 WAY_SCHEMA = "way_id long, refs array<long>, tags map<string,string>"
+REL_SCHEMA = (
+    "relation_id long, "
+    "members array<struct<mtype:string,ref:long,role:string>>, "
+    "tags map<string,string>"
+)
 
 
 def parse_nodes(blobs: DataFrame, data_col: str = "data") -> DataFrame:
@@ -222,3 +274,114 @@ def parse_ways(blobs: DataFrame, data_col: str = "data") -> DataFrame:
             yield pd.DataFrame(rows, columns=["way_id", "refs", "tags"])
 
     return blobs.mapInPandas(run, schema=WAY_SCHEMA)
+
+
+def parse_relations(blobs: DataFrame, data_col: str = "data") -> DataFrame:
+    """Decode every blob's relation records (osmium relation() analog,
+    p1_getFurtherOSMData.py:104-108: members as (type, ref, role) plus a
+    tag dict)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for blob in pdf[data_col]:
+                for rid, members, tags in _decode_blob(blob)[2]:
+                    rows.append((rid, members, tags))
+            yield pd.DataFrame(rows, columns=["relation_id", "members", "tags"])
+
+    return blobs.mapInPandas(run, schema=REL_SCHEMA)
+
+
+def pt_stops_from_relations(
+    relations: DataFrame, nodes: DataFrame, ways: DataFrame
+) -> DataFrame:
+    """PT-route stop extraction twin of p1_getFurtherOSMData.py:121-151.
+
+    The reference iterates route relations and, per member, resolves a
+    node member ('n') to a Point and a way member ('w') to a LineString
+    over the way's node refs; any other member type gets geometry None.
+    Relation tags supply mode (= tags['route']) plus name/operator/ref/
+    network/from/to, with the name falling back to the (1-based) relation
+    iteration counter -- reproduced deterministically here as the dense
+    rank of relation_id (the reference's dict preserves file order, which
+    is id order in a sorted PBF).
+
+    Spark shape: members posexplode; node members equi-join ``nodes``
+    once; way members equi-join ``ways``, posexplode refs, equi-join
+    ``nodes``, and fold back sorted-by-position -- three bucketed
+    equi-joins, no collect, so planet-scale relation sets partition like
+    any other table. Relations without a 'route' tag are dropped (the
+    reference would KeyError on them; its input is pre-filtered to route
+    relations by the overpass query that produced the PBF).
+
+    Geometry is the repo-wide [[lon, lat], ...] degrees encoding (a Point
+    is a single-element array).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rel = relations.filter(F.map_contains_key("tags", "route")).withColumn(
+        "rel_iter",
+        F.row_number().over(Window.orderBy("relation_id")),
+    )
+    m = rel.select(
+        "relation_id",
+        F.element_at("tags", "route").alias("mode"),
+        F.coalesce(
+            F.element_at("tags", "name"), F.col("rel_iter").cast("string")
+        ).alias("name"),
+        F.element_at("tags", "operator").alias("operator"),
+        F.element_at("tags", "ref").alias("ref"),
+        F.element_at("tags", "network").alias("network"),
+        F.element_at("tags", "from").alias("from"),
+        F.element_at("tags", "to").alias("to"),
+        F.posexplode("members").alias("member_idx", "member"),
+    ).select(
+        "*",
+        F.col("member.mtype").alias("mtype"),
+        F.col("member.ref").alias("member_ref"),
+        F.col("member.role").alias("stop_type"),
+    ).drop("member")
+
+    pt = nodes.select(
+        F.col("node_id"),
+        F.array(
+            F.col("lon_1e7").cast("double") / 1e7,
+            F.col("lat_1e7").cast("double") / 1e7,
+        ).alias("coord"),
+    )
+
+    n_geo = (
+        m.filter(F.col("mtype") == "n")
+        .join(pt, F.col("member_ref") == F.col("node_id"), "left")
+        .withColumn("geometry", F.array(F.col("coord")))
+        .drop("node_id", "coord")
+    )
+
+    w_refs = ways.select(
+        "way_id", F.posexplode("refs").alias("ref_pos", "node_ref")
+    )
+    w_geo_lines = (
+        w_refs.join(pt, F.col("node_ref") == F.col("node_id"), "inner")
+        .groupBy("way_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ref_pos", "coord"))
+                ),
+                lambda s: s["coord"],
+            ).alias("geometry")
+        )
+    )
+    w_geo = (
+        m.filter(F.col("mtype") == "w")
+        .join(w_geo_lines, F.col("member_ref") == F.col("way_id"), "left")
+        .drop("way_id")
+    )
+
+    other = m.filter(~F.col("mtype").isin("n", "w")).withColumn(
+        "geometry",
+        F.lit(None).cast("array<array<double>>"),
+    )
+
+    return n_geo.unionByName(w_geo).unionByName(other).drop("mtype")

@@ -36,6 +36,39 @@ def test_snapshot_resume(spark, tmp_path):
     assert any(r.get("resumed") for r in recs) and any(not r.get("resumed") for r in recs)
 
 
+def test_snapshot_config_mismatch_invalidates(spark, tmp_path):
+    """A warehouse written under a different run config (scale/code hash)
+    must not silently serve stale snapshots; --resume is the explicit
+    opt-in to reuse them anyway."""
+    wh = str(tmp_path / "whc")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(0, 10)
+
+    snap = Snapshotter(spark, wh, config={"scale": 1, "code": "aaaa"})
+    snap.stage("s1", build, lineage_key="id")
+    assert len(calls) == 1
+
+    # same config -> resume, no rebuild
+    snap2 = Snapshotter(spark, wh, config={"scale": 1, "code": "aaaa"})
+    snap2.stage("s1", build, lineage_key="id")
+    assert len(calls) == 1
+
+    # different config -> invalidated, rebuild
+    snap3 = Snapshotter(spark, wh, config={"scale": 2, "code": "aaaa"})
+    snap3.stage("s1", build, lineage_key="id")
+    assert len(calls) == 2
+
+    # different config + explicit reuse -> stale snapshot served, no rebuild
+    snap4 = Snapshotter(
+        spark, wh, config={"scale": 3, "code": "aaaa"}, reuse_mismatched=True
+    )
+    snap4.stage("s1", build, lineage_key="id")
+    assert len(calls) == 2
+
+
 def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     src = str(tmp_path / "events_src")
     ck = str(tmp_path / "ck1")

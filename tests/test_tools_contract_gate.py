@@ -1,0 +1,58 @@
+"""The local contract gate must be a faithful driver mimic.
+
+Round-2 post-mortem (VERDICT r2 "What's wrong" #1-2): three oracle SQLs
+emitted DuckDB HUGEINT columns (sum over BIGINT/INTEGER widens to int128),
+which a pandas fetch renders as float64 and the driver's raw stringify
+then hashes differently from Spark's int — while fetchall() + %.9g in the
+old local gate masked it. These tests pin the two defenses added in
+round 3: an oracle output-type lint and a raw pandas-fetch hash path.
+"""
+
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo/tools")
+
+from check_contract import (  # noqa: E402
+    ALLOWED_ORACLE_TYPES,
+    lint_oracle_types,
+    raw_cell,
+    value_hash,
+)
+
+
+def test_lint_catches_hugeint_sum():
+    con = duckdb.connect()
+    rel = con.sql("SELECT sum(x) AS s FROM (SELECT CAST(1 AS BIGINT) AS x)")
+    assert lint_oracle_types(rel) == ["s:HUGEINT"]
+
+
+def test_lint_passes_cast_bigint_sum():
+    con = duckdb.connect()
+    rel = con.sql(
+        "SELECT CAST(sum(x) AS BIGINT) AS s, CAST(1.5 AS DOUBLE) AS d, "
+        "'a' AS v, TRUE AS b "
+        "FROM (SELECT CAST(1 AS BIGINT) AS x)"
+    )
+    assert lint_oracle_types(rel) == []
+
+
+def test_allowed_types_are_driver_safe():
+    # Exactly the scalar types that round-trip a pandas/Arrow fetch
+    assert ALLOWED_ORACLE_TYPES == {
+        "BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN",
+    }
+
+
+def test_raw_hash_catches_hugeint_float_rendering():
+    """The driver-mimic raw hash must distinguish 3100000 from the
+    float64 3100000.0 a HUGEINT degrades to — the exact r1/r2 failure."""
+    cols = ["s"]
+    h_int = value_hash([(3100000,)], cols, cell=raw_cell)
+    h_float = value_hash([(3100000.0,)], cols, cell=raw_cell)
+    assert h_int != h_float
+    # while NaN on both sides (int-with-null degrading identically) matches
+    assert value_hash([(float("nan"),)], cols, cell=raw_cell) == value_hash(
+        [(float("nan"),)], cols, cell=raw_cell
+    )

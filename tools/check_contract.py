@@ -35,16 +35,52 @@ def norm_cell(v):
     return str(v)
 
 
-def value_hash(rows, cols):
+def raw_cell(v):
+    """Driver-mimic stringify: raw str(), no float normalization.
+
+    The driver fetches BOTH sides via pandas (Spark toPandas, oracle
+    rel.df()) and stringifies values as-is. Under that fetch an
+    int-column-with-NULLs degrades to float64 on both sides (harmless),
+    but a DuckDB HUGEINT (sum over BIGINT widens to int128) degrades to
+    float64 on the oracle side ONLY and renders '3100000.0' against
+    Spark's '3100000' — a class of mismatch that fetchall() + %.9g
+    (norm_cell) can never see (VERDICT r2 "What's wrong" #2). Evidence
+    for the both-sides-pandas model: q_pbf_roundtrip (INTEGER n_refs
+    with NULLs → float64 in rel.df()) was GREEN in the driver's r2 run,
+    which is only consistent if the Spark side degraded identically.
+    """
+    try:
+        if v != v:  # float('nan') / np.nan, robust to non-comparables
+            return "nan"
+    except Exception:
+        pass
+    return str(v)
+
+
+def value_hash(rows, cols, cell=norm_cell):
     cols_sorted = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
-        "\x1f".join(norm_cell(r[i]) for i in cols_sorted) for r in rows
+        "\x1f".join(cell(r[i]) for i in cols_sorted) for r in rows
     )
     h = hashlib.sha256()
     for ln in lines:
         h.update(ln.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+# Oracle relations must only emit types that round-trip exactly through a
+# pandas/Arrow fetch. Anything else (HUGEINT, DECIMAL, LIST, ...) silently
+# degrades to float64/object in the driver's fetch and flips the hash.
+ALLOWED_ORACLE_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN"}
+
+
+def lint_oracle_types(rel):
+    bad = []
+    for col, typ in zip(rel.columns, rel.types):
+        if str(typ).upper() not in ALLOWED_ORACLE_TYPES:
+            bad.append(f"{col}:{typ}")
+    return bad
 
 
 def main():
@@ -68,6 +104,8 @@ def main():
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
+            spdf = sdf.toPandas()
+            sraw = list(spdf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:200]}")
             n_fail += 1
@@ -77,13 +115,18 @@ def main():
             continue
         try:
             rel = con.sql(oracles[name])
+            type_problems = lint_oracle_types(rel)
             orows = rel.fetchall()
             ocols = [d[0] for d in rel.description]
+            opdf = con.sql(oracles[name]).df()
+            oraw = list(opdf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
         problems = []
+        if type_problems:
+            problems.append(f"oracle types not driver-safe: {type_problems}")
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):
@@ -93,6 +136,10 @@ def main():
             oh = value_hash(orows, ocols)
             if sh != oh:
                 problems.append(f"hash {sh} != {oh}")
+            srh = value_hash(sraw, list(spdf.columns), cell=raw_cell)
+            orh = value_hash(oraw, list(opdf.columns), cell=raw_cell)
+            if srh != orh:
+                problems.append(f"raw-hash (driver mimic) {srh} != {orh}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             if "-v" in sys.argv or only:
