@@ -1712,6 +1712,99 @@ Q_PBF_ROUNDTRIP_SQL = f"""
 """
 
 
+PT_MODES = ["bus", "tram", "subway"]
+
+
+def q_pbf_relations(spark, sf_dir):
+    """S5 PBF RELATION records + PT-route stop extraction
+    (p1_getFurtherOSMData.py:104-108 relation parse, :121-151 stop loop):
+    part keys -> blobs carrying nodes/ways/relations -> distributed decode
+    -> pt_stops_from_relations (node member -> Point, way member ->
+    LineString over ref order, 'r' member -> no geometry, name falls back
+    to the 1-based relation counter). The oracle derives every output
+    field arithmetically, including the way-clipped coord count at the
+    key-space edge."""
+    import pandas as pd_
+
+    from .sources import pbf
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("k"))
+    grouped = p.withColumn("blob_id", F.floor(F.col("k") / F.lit(100.0)).cast("long"))
+
+    def build(pdf: pd_.DataFrame) -> pd_.DataFrame:
+        keys = sorted(int(x) for x in pdf["k"])
+        nodes = [
+            (k, (k * M2) % 900_000, (k * M1) % 1_800_000, []) for k in keys
+        ]
+        ways = [(k, [k, k + 1, k + 2], []) for k in keys if k % 10 == 0]
+        rels = []
+        for k in keys:
+            if k % 20:
+                continue
+            tags = [("route", PT_MODES[k % 3]), ("operator", f"op_{k % 7}")]
+            if k % 40 == 0:
+                tags.append(("name", f"route_{k}"))
+            members = [("n", k, "stop"), ("w", k, "platform")]
+            if k % 60 == 0:
+                members.append(("r", k, "sub"))
+            rels.append((k, members, tags))
+        return pd_.DataFrame(
+            {"blob_id": [int(pdf["blob_id"].iloc[0])],
+             "data": [pbf.encode_blob(nodes, ways, rels)]}
+        )
+
+    blobs = grouped.groupBy("blob_id").applyInPandas(build, "blob_id long, data binary")
+    stops = pbf.pt_stops_from_relations(
+        pbf.parse_relations(blobs), pbf.parse_nodes(blobs), pbf.parse_ways(blobs)
+    )
+    return stops.select(
+        "relation_id",
+        F.col("member_idx").cast("int").alias("member_idx"),
+        "mode",
+        "stop_type",
+        "member_ref",
+        F.col("name").alias("stop_name"),
+        "operator",
+        F.size("geometry").cast("int").alias("n_coords"),
+        F.element_at("geometry", 1)[0].alias("lon0"),
+        F.element_at("geometry", 1)[1].alias("lat0"),
+    ).orderBy("relation_id", "member_idx")
+
+
+_PBF_MODE_SQL = " ".join(
+    f"WHEN {i} THEN '{m}'" for i, m in enumerate(PT_MODES)
+)
+Q_PBF_RELATIONS_SQL = f"""
+  WITH mx AS (SELECT max(p_partkey) AS m FROM part),
+  rel AS (
+    SELECT p_partkey AS k,
+           row_number() OVER (ORDER BY p_partkey) AS rel_iter
+    FROM part WHERE p_partkey % 20 = 0),
+  base AS (
+    SELECT k, rel_iter,
+           CASE k % 3 {_PBF_MODE_SQL} END AS mode,
+           CASE WHEN k % 40 = 0 THEN 'route_' || CAST(k AS VARCHAR)
+                ELSE CAST(rel_iter AS VARCHAR) END AS stop_name,
+           'op_' || CAST(k % 7 AS VARCHAR) AS operator,
+           CAST((k * {M1}) % 1800000 AS DOUBLE) / 1e7 AS lon0,
+           CAST((k * {M2}) % 900000 AS DOUBLE) / 1e7 AS lat0
+    FROM rel)
+  SELECT k AS relation_id, 0 AS member_idx, mode, 'stop' AS stop_type,
+         k AS member_ref, stop_name, operator,
+         1 AS n_coords, lon0, lat0
+  FROM base
+  UNION ALL
+  SELECT k, 1, mode, 'platform', k, stop_name, operator,
+         CAST(least(3, (SELECT m FROM mx) - k + 1) AS INTEGER), lon0, lat0
+  FROM base
+  UNION ALL
+  SELECT k, 2, mode, 'sub', k, stop_name, operator,
+         CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM base WHERE k % 60 = 0
+  ORDER BY relation_id, member_idx
+"""
+
+
 def q_media_decode(spark, sf_dir):
     """Multimodal REAL decode path: synthesize one 8-bit grayscale PNG per
     part key (gradient pixels value = base + x + 3y, all < 256), push the
@@ -1931,6 +2024,7 @@ QUERIES = {
     "q_signal_snap": (q_signal_snap, Q_SIGNAL_SNAP_SQL),
     "q_cluster_kmeans": (q_cluster_kmeans, Q_CLUSTER_KMEANS_SQL),
     "q_pbf_roundtrip": (q_pbf_roundtrip, Q_PBF_ROUNDTRIP_SQL),
+    "q_pbf_relations": (q_pbf_relations, Q_PBF_RELATIONS_SQL),
     "q_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
     "q_dedup_pipeline": (q_dedup_pipeline, Q_DEDUP_PIPELINE_SQL),
     "q_corpus_curation": (q_corpus_curation, Q_CORPUS_CURATION_SQL),

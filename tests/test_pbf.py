@@ -8,8 +8,8 @@ from hypothesis import strategies as st
 from osmnetfusion_spark.sources import pbf
 
 
-def _roundtrip(nodes, ways=()):
-    return pbf._decode_blob(pbf.encode_blob(nodes, ways))
+def _roundtrip(nodes, ways=(), relations=()):
+    return pbf._decode_blob(pbf.encode_blob(nodes, ways, relations))
 
 
 def test_roundtrip_basic():
@@ -18,10 +18,29 @@ def test_roundtrip_basic():
         (5, 485_000_100, 112_999_900, []),
     ]
     ways = [(10, [1, 5], [("oneway", "yes"), ("name", "Straße Über")])]
-    dn, dw = _roundtrip(nodes, ways)
+    dn, dw, dr = _roundtrip(nodes, ways)
     assert dn == [(1, 485_000_000, 113_000_000, {"highway": "residential"}),
                   (5, 485_000_100, 112_999_900, {})]
     assert dw == [(10, [1, 5], {"oneway": "yes", "name": "Straße Über"})]
+    assert dr == []
+
+
+def test_relation_roundtrip():
+    relations = [
+        (100, [("n", 1, "stop"), ("w", 10, "platform"), ("r", 99, "")],
+         [("route", "bus"), ("name", "Linie 58 Süd")]),
+        # backward member-ref delta + id gap down
+        (7, [("n", 50, "stop"), ("n", 3, "stop_exit_only")],
+         [("route", "tram")]),
+    ]
+    dn, dw, dr = _roundtrip([], [], relations)
+    assert dn == [] and dw == []
+    assert dr == [
+        (100, [("n", 1, "stop"), ("w", 10, "platform"), ("r", 99, "")],
+         {"route": "bus", "name": "Linie 58 Süd"}),
+        (7, [("n", 50, "stop"), ("n", 3, "stop_exit_only")],
+         {"route": "tram"}),
+    ]
 
 
 def test_negative_coords_and_backward_deltas():
@@ -30,7 +49,7 @@ def test_negative_coords_and_backward_deltas():
         (1_000_000, -338_000_000, -702_000_000, []),
         (7, -900_000_000, 1_799_999_999, [("k", "v")]),
     ]
-    dn, _ = _roundtrip(nodes)
+    dn, _, _ = _roundtrip(nodes)
     assert [(n[0], n[1], n[2]) for n in dn] == [
         (1_000_000, -338_000_000, -702_000_000),
         (7, -900_000_000, 1_799_999_999),
@@ -38,7 +57,7 @@ def test_negative_coords_and_backward_deltas():
 
 
 def test_empty_block():
-    assert _roundtrip([]) == ([], [])
+    assert _roundtrip([]) == ([], [], [])
 
 
 def test_string_table_dedup():
@@ -46,7 +65,7 @@ def test_string_table_dedup():
     nodes = [(i, 0, 0, [("highway", "residential")]) for i in range(1000)]
     blob = pbf.encode_blob(nodes)
     assert len(blob) < 3000  # ~2 bytes/node after delta + dedup + zlib
-    dn, _ = _roundtrip(nodes)
+    dn, _, _ = _roundtrip(nodes)
     assert len(dn) == 1000 and dn[500][3] == {"highway": "residential"}
 
 
@@ -68,8 +87,53 @@ def test_string_table_dedup():
 def test_roundtrip_property(raw):
     # dict(tags) collapses duplicate keys -- normalize expectation the same way
     nodes = [(i, la, lo, t) for i, la, lo, t in raw]
-    dn, _ = _roundtrip(nodes)
+    dn, _, _ = _roundtrip(nodes)
     assert dn == [(i, la, lo, dict(t)) for i, la, lo, t in nodes]
+
+
+def test_pt_stops_from_relations(spark):
+    """End-to-end: blobs -> parse -> PT-stop extraction, mirroring the
+    reference's relation loop (p1_getFurtherOSMData.py:121-151): node
+    member -> Point, way member -> LineString over the way's refs in
+    order, other member types -> geometry None, name falls back to the
+    1-based relation counter when the tag is absent."""
+    nodes = [
+        (1, 10_000_000, 20_000_000, []),
+        (2, 30_000_000, 40_000_000, []),
+        (3, 50_000_000, 60_000_000, []),
+    ]
+    ways = [(10, [3, 1, 2], [])]  # ref order must be preserved
+    relations = [
+        # no 'route' tag -> dropped entirely
+        (4, [("n", 1, "stop")], [("type", "multipolygon")]),
+        (5, [("n", 2, "stop"), ("w", 10, "platform")],
+         [("route", "bus"), ("name", "L1"), ("operator", "op")]),
+        # name absent -> falls back to rel_iter; rank over route
+        # relations ordered by id: 5 -> 1, 9 -> 2
+        (9, [("r", 5, "sub")], [("route", "tram"), ("from", "A"), ("to", "B")]),
+    ]
+    blobs = spark.createDataFrame(
+        [(0, pbf.encode_blob(nodes, ways, relations))], "blob_id long, data binary"
+    )
+    out = pbf.pt_stops_from_relations(
+        pbf.parse_relations(blobs), pbf.parse_nodes(blobs), pbf.parse_ways(blobs)
+    )
+    rows = {(r.relation_id, r.member_idx): r for r in out.collect()}
+    assert len(rows) == 3 and (4, 0) not in rows
+
+    r = rows[(5, 0)]
+    assert (r.mode, r.stop_type, r.member_ref, r.name, r.operator) == (
+        "bus", "stop", 2, "L1", "op"
+    )
+    assert r.geometry == [[4.0, 3.0]]  # [[lon, lat]] degrees
+
+    r = rows[(5, 1)]
+    assert r.stop_type == "platform"
+    assert r.geometry == [[6.0, 5.0], [2.0, 1.0], [4.0, 3.0]]  # way ref order
+
+    r = rows[(9, 0)]
+    assert (r.mode, r.name, r["from"], r.to) == ("tram", "2", "A", "B")
+    assert r.geometry is None
 
 
 def test_shingle_fast_kernel_matches_column_kernel(spark):
