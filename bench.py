@@ -86,13 +86,13 @@ def main() -> None:
     pages_raw = synth.pages(spark, n_pages, city_scale=scale).localCheckpoint()
     pages_raw.count()
 
-    best = {"simplify_full": float("inf"), "page_snap": float("inf"),
-            "tile_assignment": float("inf")}
+    times: dict[str, list[float]] = {
+        "simplify_full": [], "page_snap": [], "tile_assignment": []}
     for _ in range(2):
         t0 = time.time()
         final_nodes, final_edges = pipeline.run_full(spark, tables)
         n_edges = final_edges.count()
-        best["simplify_full"] = min(best["simplify_full"], time.time() - t0)
+        times["simplify_full"].append(time.time() - t0)
 
         t0 = time.time()
         pg = PG.dedupe_latest(pages_raw)
@@ -101,28 +101,55 @@ def main() -> None:
         ).select("edge_id", "seg_idx", "ax", "ay", "bx", "by").localCheckpoint()
         snap = PG.snap_pages_to_edges(pg, segs, radius_m=200.0).localCheckpoint()
         n_snapped = snap.count()
-        best["page_snap"] = min(best["page_snap"], time.time() - t0)
+        times["page_snap"].append(time.time() - t0)
 
         t0 = time.time()
         ted = tiles.tile_edge_density(snap, pg, segs)
         n_tiles = ted.count()
-        best["tile_assignment"] = min(best["tile_assignment"], time.time() - t0)
-    for k, v in best.items():
-        queries[k] = round(v, 3)
+        times["tile_assignment"].append(time.time() - t0)
+    noise: dict[str, float] = {}
+    for k, v in times.items():
+        queries[k] = round(min(v), 3)
+        noise[k] = round(max(v) / max(min(v), 1e-9), 2)
+
+    # ---- scale-16 flagship: the large-input regime where throughput
+    # regressions actually show (scale 4 is scheduling-overhead bound);
+    # single pass, inputs materialized outside the timed section.
+    # SPARK_GRAFT_BENCH_SCALE16=0 opts out.
+    scale16 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE16", "16"))
+    if scale16:
+        city16 = synth.synthetic_city(scale16)
+        n_in16 = len(city16["edges"])
+        t16 = {k: v.localCheckpoint() for k, v in synth.city_to_spark(spark, city16).items()}
+        for v in t16.values():
+            v.count()
+        t0 = time.time()
+        _n16, e16 = pipeline.run_full(spark, t16)
+        n_out16 = e16.count()
+        sec16 = time.time() - t0
+        extras["pipeline_scale16_sec"] = round(sec16, 3)
+        extras["pipeline_scale16_input_edges"] = n_in16
+        extras["pipeline_scale16_output_edges"] = n_out16
+        extras["pipeline_scale16_input_edges_per_sec"] = round(n_in16 / max(sec16, 1e-9), 1)
 
     # ---- representative operator queries on the driver tables
-    # min-of-2: the sandbox VM shares a hypervisor host and identical code
-    # varies up to ~8x run-to-run (measured: q_ann_topk 0.96 s vs 7.6 s);
-    # the min is the steady-state throughput a dedicated executor would see
+    # Quiet-window protocol (VERDICT r2 #5): the sandbox VM shares a
+    # hypervisor host and identical code varies up to ~8x run-to-run
+    # (measured: q_ann_topk 0.96 s vs 7.6 s). Per query: one untimed
+    # warm-up action (plan compile + codegen), then min-of-3 timed runs;
+    # noise_ratio = max/min of the timed runs, so a noisy window is
+    # self-documenting in the round record.
     qs = {name: fn for name, (fn, _sql) in DC.QUERIES.items()}
     names = list(qs) if CONTRACT_QUERIES == "ALL" else CONTRACT_QUERIES
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        qs[name](spark, sf_dir).count()  # warm-up, untimed
+        runs = []
+        for _ in range(3):
             t0 = time.time()
             qs[name](spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        queries[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        queries[name] = round(min(runs), 3)
+        noise[name] = round(max(runs) / max(min(runs), 1e-9), 2)
 
     # total = sum of per-query best times (the measured work), not the
     # harness wall clock -- with min-of-2 repeats the wall includes the
@@ -147,7 +174,9 @@ def main() -> None:
                 "n_tile_edge_rows": n_tiles,
                 "flagship_rows": flagship_rows,
                 "flagship_throughput_rows_per_sec": round(flagship_rows / max(flagship_sec, 1e-9), 1),
+                "noise_ratio": noise,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                **extras,
             }
         )
     )

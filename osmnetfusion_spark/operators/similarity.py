@@ -84,16 +84,24 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dim: int, planes: int = 12) -> Column:
+def hyperplane_signature(
+    vec: Column, dim: int, planes: int = 12, plane_offset: int = 0
+) -> Column:
     """Deterministic random-hyperplane sign signature (long).
 
     Plane p, component d has pseudo-random weight
     sin(1 + (p * dim + d) * 12.9898) * 43758.5453 fract -- the classic
     shader-noise construction: deterministic, library-free, identical on
     any platform with IEEE doubles.
+
+    ``plane_offset`` shifts the plane index stream so multiple LSH tables
+    (offset = table * planes) draw disjoint pseudo-random plane sets.
     """
     def weight(p: Column, d: Column) -> Column:
-        x = F.sin((p * dim + d).cast("double") * 12.9898 + 1.0) * 43758.5453
+        x = (
+            F.sin(((p + plane_offset) * dim + d).cast("double") * 12.9898 + 1.0)
+            * 43758.5453
+        )
         return x - F.floor(x) - 0.5
 
     sig = F.aggregate(
@@ -125,29 +133,65 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_hamming: int = 1,
+    tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-bucketed search with multi-probe.
+    """Approximate top-k: hyperplane-bucketed search, multi-probe +
+    multi-table.
 
-    Corpus is bucketed once by signature; each query probes its own bucket
-    plus all hamming<=probe_hamming neighbors (bit flips). Candidate volume
-    ~ corpus/2^planes * (1 + planes); recall measured in tests.
+    Corpus is bucketed once per table by signature (bucket key =
+    table << planes | sig, one exploded row per table); each query probes
+    its own bucket plus all hamming<=probe_hamming neighbors (1-bit flips,
+    and the 2-bit flips when probe_hamming>=2) in every table. Candidate
+    volume ~ tables * corpus/2^planes * n_probes; recall measured in
+    tests (test_dedup_lsh.py).
+
+    Why multiple tables: for weakly-similar neighbors (cos ~0.3, the
+    realistic web-embedding regime -- per-plane collision p ~0.6) a single
+    table cannot reach high recall at any candidate-bounded probe width
+    (p^planes stays tiny), while L independent tables give
+    1-(1-p^planes)^L -- e.g. planes=4, tables=12 => recall ~0.9 at ~2.4x
+    corpus candidate volume. ``tables=1`` is bit-identical to the
+    pre-multi-table operator (the q_ann_lsh oracle pins that path).
     """
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = dim_row.d
+
+    def sig(col: Column, t: int) -> Column:
+        return hyperplane_signature(
+            col, dim, planes, plane_offset=t * planes
+        ) + F.lit(t << planes).cast("long")
+
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", hyperplane_signature(F.col("cv"), dim, planes))
-    probes = [F.col("qsig")]
+    ).withColumn(
+        "bucket",
+        F.explode(F.array(*[sig(F.col("cv"), t) for t in range(tables)])),
+    )
+    masks = [0]
     if probe_hamming >= 1:
-        probes += [F.col("qsig").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+        masks += [1 << p for p in range(planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(planes)
+            for j in range(i + 1, planes)
+        ]
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
-        .withColumn("qsig", hyperplane_signature(F.col("qv"), dim, planes))
-        .withColumn("bucket", F.explode(F.array(*probes)))
+        .withColumn(
+            "tsig",
+            F.explode(F.array(*[sig(F.col("qv"), t) for t in range(tables)])),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(*[F.col("tsig").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
     )
     scored = (
         F.broadcast(q)

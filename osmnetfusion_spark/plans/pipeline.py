@@ -21,7 +21,18 @@ NODE_TAG_COLS = [
 ]
 
 
-def _stager(snap, prefix: str):
+#: p3 barriers kept in "phase" granularity: the four natural phase
+#: boundaries (post-buffer-split s6, post-cluster s7, post-reassign s8,
+#: post-merge final). s1_edges and s5_nodes become lazy: split_curves is
+#: pure column logic (cheap to recompute) and cluster_nodes already
+#: truncates its own lineage internally (the CC loop localCheckpoints),
+#: so their extra barriers are pure scheduling overhead.
+PHASE_BARRIERS = frozenset(
+    {"s6_edges", "s6_nodes", "s7_nodes", "s8_edges", "final_edges"}
+)
+
+
+def _stager(snap, prefix: str, keep: frozenset | None = None):
     """Stage-boundary materializer.
 
     With a ``checkpoint.Snapshotter`` (the at-scale default: snapshots
@@ -30,9 +41,14 @@ def _stager(snap, prefix: str):
     each boundary is a durable table + manifest commit. Without one
     (single-host fast path: tests, bench), it is a ``localCheckpoint``,
     which truncates lineage but is forfeited on executor loss.
+
+    ``keep``: when given, only the named boundaries materialize; the
+    rest stay lazy (barrier-granularity audit, VERDICT r2 #4).
     """
 
     def bound(name: str, key: str, fn):
+        if keep is not None and name not in keep:
+            return fn()
         if snap is not None:
             return snap.stage(f"{prefix}{name}", fn, key)
         return fn().localCheckpoint()
@@ -136,18 +152,24 @@ def run_simplification(
     cluster_threshold: int = simplify.CLUSTER_THRESHOLD,
     metrics: dict | None = None,
     snap=None,
+    barriers: str = "operator",
 ) -> tuple[DataFrame, DataFrame]:
     """p3 steps 1-13. Returns (final_nodes, final_edges).
 
     With ``snap`` each step boundary is a durable snapshot; a restarted
     run resumes after the last committed step (the stage closures are
     never invoked for completed steps, so no upstream jobs run).
+
+    ``barriers``: "operator" (default) materializes every step boundary;
+    "phase" keeps only :data:`PHASE_BARRIERS` and leaves the rest lazy
+    (fewer scheduling round-trips on a real cluster).
     """
     import time as _time
 
     m = metrics if metrics is not None else {}
     _t = [_time.time()]
-    bound = _stager(snap, "p3_")
+    keep = PHASE_BARRIERS if barriers == "phase" else None
+    bound = _stager(snap, "p3_", keep=keep)
 
     def lap(name):
         now = _time.time()
@@ -273,6 +295,9 @@ def run_full(
     tables: dict[str, DataFrame],
     metrics: dict | None = None,
     snap=None,
+    barriers: str = "operator",
 ):
     nodes, edges = run_enrichment(spark, tables, metrics=metrics, snap=snap)
-    return run_simplification(spark, nodes, edges, metrics=metrics, snap=snap)
+    return run_simplification(
+        spark, nodes, edges, metrics=metrics, snap=snap, barriers=barriers
+    )

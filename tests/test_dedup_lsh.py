@@ -63,3 +63,53 @@ def test_lsh_scales_without_overflow(spark):
     out = dedup.lsh_candidate_pairs(base, num_hashes=16, bands=4)
     n = out.count()
     assert n < 400 * 20, f"candidate explosion: {n}"
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """ANN quality gate (VERDICT r2 #7): recall@5 vs exact cosine top-5
+    on the sf0.01 embeddings. These embeddings are the realistic hard
+    regime -- true neighbors sit at cos ~0.25-0.49 (per-plane collision
+    ~0.6), so a single table tops out near 0.3 recall at any bounded
+    probe width; the multi-table path is the scale answer. All values are
+    deterministic (fixed plane weights, fixed data), so the margins pin
+    parameter/wiring regressions, not noise. Measured at HEAD:
+    single-table (contract params) 0.292; planes=4 x 12 tables 1.000;
+    hamming-2 probes lift planes=6 x 8 tables 0.888 -> 1.000."""
+    from pyspark.sql import functions as F
+
+    from osmnetfusion_spark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 50)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(e, q, k=5).collect()
+    }
+
+    def recall(planes, probe_hamming, tables):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.lsh_bucket_topk(
+                e, q, k=5, planes=planes,
+                probe_hamming=probe_hamming, tables=tables,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    # the documented scale configuration clears 0.9 with margin
+    r_scale = recall(4, 1, 12)
+    assert r_scale >= 0.9, f"scale-path recall@5 dropped to {r_scale:.3f}"
+
+    # single-table contract path: low by nature on this corpus, but a
+    # bucket-hash or probe regression would drop it toward ~1/2^planes
+    r_single = recall(6, 1, 1)
+    assert 0.15 <= r_single < r_scale, (
+        f"single-table recall {r_single:.3f} out of expected band"
+    )
+
+    # hamming-2 probes must actually widen the candidate set (the old
+    # probe generator silently ignored probe_hamming=2)
+    r_h1, r_h2 = recall(6, 1, 8), recall(6, 2, 8)
+    assert r_h2 >= r_h1, f"hamming-2 probes lost recall: {r_h2:.3f} < {r_h1:.3f}"
+    assert r_h2 >= 0.95, f"planes=6 x 8 tables x hamming<=2 recall {r_h2:.3f}"
