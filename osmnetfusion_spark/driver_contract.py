@@ -464,6 +464,60 @@ Q_JACCARD_SQL = f"""
 """
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination check (decontamination pass, the published
+    n-gram-overlap test): documents sharing >= 3 distinct word 3-grams
+    with a 'benchmark' subset (doc_id % 7 == 0 stands in for an eval
+    suite) are flagged with overlap count and fraction. The corpus side
+    explodes narrow (no shuffle) and probes the broadcast benchmark
+    shingle set; the oracle recomputes both shingle streams and the
+    hash-match counts exactly."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return dedup.contamination_check(
+        d, bench, n=3, min_overlap=3
+    ).orderBy("doc_id", "bench_id")
+
+
+Q_CONTAMINATION_SQL = f"""
+  WITH sh AS (
+    SELECT doc_id, {_SH} AS s FROM documents),
+  dx AS (
+    SELECT doc_id, CAST(length(s) AS BIGINT) AS doc_ngrams, unnest(s) AS h
+    FROM sh WHERE length(s) > 0),
+  bx AS (
+    SELECT doc_id AS bench_id, unnest(s) AS h
+    FROM sh WHERE length(s) > 0 AND doc_id % 7 = 0)
+  SELECT d.doc_id, b.bench_id,
+         count(*) AS n_overlap, max(d.doc_ngrams) AS doc_ngrams,
+         CAST(count(*) AS DOUBLE) / max(d.doc_ngrams) AS overlap_frac
+  FROM dx d JOIN bx b USING (h)
+  WHERE d.doc_id != b.bench_id
+  GROUP BY 1, 2 HAVING count(*) >= 3
+  ORDER BY doc_id, bench_id
+"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head (tokenizer-training shape): top-100 tokens
+    by total occurrences with document frequency; hot stopword keys are
+    absorbed by the map-side partial combine (a count fold commutes), and
+    ties break on the explicit (count desc, token asc) total order."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.vocab_topk(d, k=100)
+
+
+Q_VOCAB_TOPK_SQL = f"""
+  SELECT token, count(*) AS n_occurrences,
+         count(DISTINCT doc_id) AS n_docs
+  FROM (SELECT doc_id, unnest({textstats.tokens_sql('text')}) AS token
+        FROM documents) __t
+  GROUP BY 1 ORDER BY n_occurrences DESC, token ASC LIMIT 100
+"""
+
+
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1376,6 +1430,53 @@ Q_ANN_LSH_SQL = f"""
 """
 
 
+def q_ann_lsh_multitable(spark, sf_dir):
+    """Multi-table LSH ANN (the high-recall scale path): 3 independent
+    hyperplane tables of 4 planes each (disjoint shader-noise plane sets
+    via plane_offset = table*planes), composite bucket = table<<4 | sig,
+    hamming-1 multi-probe within each table, candidates deduped across
+    tables before the top-k. The oracle replicates every table's
+    signature stream in SQL; the composite key makes its hamming-1 check
+    (xor IN 1,2,4,8) same-table by construction."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.lsh_bucket_topk(
+        e, q, k=5, planes=4, tables=3
+    ).orderBy("query_id", "rank")
+
+
+_LSH_DOT_MT = (
+    "list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * "
+    "(sin(((p + t * 4) * 64 + (i - 1)) * 12.9898 + 1.0) * 43758.5453 "
+    "- floor(sin(((p + t * 4) * 64 + (i - 1)) * 12.9898 + 1.0) * 43758.5453) - 0.5)))"
+)
+Q_ANN_LSH_MT_SQL = f"""
+  WITH vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings),
+  sg AS (
+    SELECT vec_id, v,
+           CAST(t * 16 AS BIGINT) +
+           (SELECT sum(CASE WHEN {_LSH_DOT_MT} > 0
+                            THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+            FROM range(0, 4) pp(p)) AS bucket
+    FROM vecs CROSS JOIN range(0, 3) tb(t)),
+  pairs AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_LSH_COS}, 6) AS cos_sim
+    FROM sg q JOIN sg c
+      ON (c.bucket = q.bucket OR xor(c.bucket, q.bucket) IN (1, 2, 4, 8))
+     AND q.vec_id != c.vec_id
+    WHERE q.vec_id < 10)
+  SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM pairs) __t
+  WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_split_curves(spark, sf_dir):
     """G1 splitCurves (p3_functions.py:99-234) on derived 3-point
     polylines: supplier segments bent at a deterministic midpoint offset.
@@ -1991,6 +2092,8 @@ QUERIES = {
     "q_tile_edge_assignment": (q_tile_edge_assignment, Q_TILE_EDGE_SQL),
     "q_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "q_jaccard_pairs": (q_jaccard_pairs, Q_JACCARD_SQL),
+    "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
+    "q_vocab_topk": (q_vocab_topk, Q_VOCAB_TOPK_SQL),
     "q_simhash": (q_simhash, Q_SIMHASH_SQL),
     "q_minhash": (q_minhash_bands, Q_MINHASH_SQL),
     "q_ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
@@ -2018,6 +2121,7 @@ QUERIES = {
     "q_id_densify": (q_id_densify, Q_ID_DENSIFY_SQL),
     "q_connected_components": (q_connected_components, Q_CONNECTED_COMPONENTS_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
+    "q_ann_lsh_multitable": (q_ann_lsh_multitable, Q_ANN_LSH_MT_SQL),
     "q_split_curves": (q_split_curves, Q_SPLIT_CURVES_SQL),
     "q_cycleway_precedence": (q_cycleway_precedence, Q_CYCLEWAY_PRECEDENCE_SQL),
     "q_tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),

@@ -211,6 +211,77 @@ def jaccard_pairs(
     )
 
 
+# ----------------------------------------------------- contamination check
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_overlap: int = 1,
+    doc_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination detection (training-data decontamination):
+    flag corpus documents sharing >= ``min_overlap`` distinct word
+    n-grams with a benchmark/eval item -- the published GPT-3/PaLM-style
+    13-gram overlap test, parameterized.
+
+    Shape for 100 TB: the corpus side is exploded to (doc, shingle-hash)
+    rows -- a NARROW transform, no shuffle -- and probed against the
+    broadcast benchmark shingle set; only matching rows reach the
+    (doc, bench) group-count, so shuffle volume is O(matches), not
+    O(corpus shingles). ``broadcast_bench=False`` falls back to a plain
+    equi-join (AQE picks the strategy) for benchmark suites too large to
+    broadcast.
+
+    Output: (doc_id, bench_id, n_overlap, doc_ngrams, overlap_frac) for
+    pairs meeting the threshold, excluding doc_id == bench_id self-pairs
+    (benchmarks drawn from the corpus itself would trivially self-match).
+    """
+    sh = shingle_hashes_fast(n)
+    d = (
+        docs.select(F.col(doc_id).alias("__did"), sh(F.col(text_col)).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .select(
+            "__did",
+            F.size("__sh").cast("long").alias("doc_ngrams"),
+            F.explode("__sh").alias("__h"),
+        )
+    )
+    b = (
+        benchmark.select(
+            F.col(bench_id).alias("__bid"), sh(F.col(bench_text_col)).alias("__sh")
+        )
+        .filter(F.size("__sh") > 0)
+        .select("__bid", F.explode("__sh").alias("__h"))
+    )
+    if broadcast_bench:
+        b = F.broadcast(b)
+    out = (
+        d.join(b, "__h")
+        .filter(F.col("__did") != F.col("__bid"))
+        .groupBy("__did", "__bid")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.max("doc_ngrams").alias("doc_ngrams"),
+        )
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    return out.select(
+        F.col("__did").alias(doc_id),
+        F.col("__bid").alias(bench_id),
+        "n_overlap",
+        "doc_ngrams",
+        (F.col("n_overlap").cast("double") / F.col("doc_ngrams").cast("double")).alias(
+            "overlap_frac"
+        ),
+    )
+
+
 # ---------------------------------------------------------------- MinHash
 
 

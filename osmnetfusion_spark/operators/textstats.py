@@ -171,3 +171,32 @@ def quality_features_sql(text: str) -> dict[str, str]:
         "stopword_ratio": f"round({stop_hits} * 1.0 / greatest({n_tokens}, 1), 6)",
         "mean_token_len": f"round({tok_len_sum} * 1.0 / greatest({n_tokens}, 1), 6)",
     }
+
+
+def vocab_topk(
+    docs, k: int = 100, text_col: str = "text", doc_id: str = "doc_id"
+):
+    """Corpus vocabulary head: top-k tokens by total occurrences, with
+    document frequency (tokenizer-training / stopword-derivation shape).
+
+    Scale shape: the token explode is narrow; the per-token aggregation is
+    a hash groupBy whose map-side partial combine absorbs the stopword
+    hot keys (a count fold commutes, so salting is unnecessary -- each
+    partition emits one partial row per distinct local token). The final
+    top-k shuffles only the distinct-vocabulary counts, orders by
+    (count desc, token asc) -- an explicit total order, so ties are
+    deterministic -- and limits driver-side rows to k.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (signature docs)
+
+    tok = docs.select(
+        F.col(doc_id).alias("__did"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("__did").alias("n_docs"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(k)

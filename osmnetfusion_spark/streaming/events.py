@@ -132,6 +132,29 @@ def sessionize(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def dedupe_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming EXACT dedup: first occurrence per key wins, duplicates
+    within the watermark horizon are dropped (ingestion-dedup shape for a
+    Common-Crawl-style feed with at-least-once delivery).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the key's first-seen event time -- bounded state,
+    which is the whole point at 100 TB/day: an unwatermarked dedup would
+    grow state forever, and a plain ``dropDuplicates([*keys, ts])`` would
+    miss duplicates whose retransmission carries a different timestamp.
+    Batch twin: ``df.dropDuplicates(keys)`` -- equivalence tested when
+    every duplicate pair lands inside the horizon
+    (test_checkpoint_streaming).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str, query_name: str) -> list:
     """Drain a bounded stream into a memory sink; returns collected rows."""
     q = (

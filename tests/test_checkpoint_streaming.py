@@ -318,6 +318,28 @@ def test_sessionize_stream_equals_batch_sf001(spark, tmp_path):
         assert abs(sv - r.sum_value_micros / 1e6) <= r.n_events * 1e-6 + 1e-9
 
 
+def test_dedupe_stream_equals_batch(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) == batch
+    dropDuplicates on event_id when duplicates land inside the horizon --
+    including retransmissions with a DIFFERENT timestamp, which a naive
+    dropDuplicates([key, ts]) would miss."""
+    src = str(tmp_path / "dd_src")
+    base = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(500)
+    # duplicate 100 events verbatim + 50 with a shifted ts (retransmit)
+    dup_exact = base.limit(100)
+    dup_shift = base.limit(50).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+    )
+    base.unionByName(dup_exact).unionByName(dup_shift).coalesce(2).write.parquet(src)
+
+    out = SE.dedupe_stream(SE.read_event_stream(spark, src))
+    got = SE.run_available_now(out, str(tmp_path / "dd_ck"), "dd_append")
+    assert len(got) == 500
+    assert sorted(r.event_id for r in got) == sorted(
+        r.event_id for r in base.select("event_id").collect()
+    )
+
+
 def test_windowed_counts_drop_late_rows(spark, tmp_path):
     """Watermark semantics: after the watermark advances past a window's
     close, a late row for that window is DROPPED by the streaming agg

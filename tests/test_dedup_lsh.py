@@ -65,6 +65,34 @@ def test_lsh_scales_without_overflow(spark):
     assert n < 400 * 20, f"candidate explosion: {n}"
 
 
+def test_contamination_check_semantics(spark):
+    """Crafted corpus: exact copy of a benchmark item -> full overlap;
+    partial rewrite -> counted shared n-grams only; disjoint text -> no
+    row; self-pairs excluded; min_overlap threshold enforced."""
+    from osmnetfusion_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),     # copy of bench 100
+            (2, "alpha beta gamma delta nine ten eleven"),  # shares 2 3-grams
+            (3, "one two three four five six"),             # disjoint
+            (100, "alpha beta gamma delta epsilon zeta"),   # the bench itself
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 100").selectExpr("doc_id AS bench_id", "text")
+    out = {
+        (r.doc_id, r.bench_id): (r.n_overlap, r.doc_ngrams)
+        for r in dedup.contamination_check(docs, bench, n=3, min_overlap=2).collect()
+    }
+    # doc 1: 4 distinct 3-grams, all shared; doc 2: shares exactly the 2
+    # leading 3-grams; doc 3 and the self-pair (100,100) must not appear
+    assert out == {(1, 100): (4, 4), (2, 100): (2, 5)}
+
+    strict = dedup.contamination_check(docs, bench, n=3, min_overlap=3).collect()
+    assert {(r.doc_id, r.bench_id) for r in strict} == {(1, 100)}
+
+
 def test_ann_lsh_recall_vs_exact(spark):
     """ANN quality gate (VERDICT r2 #7): recall@5 vs exact cosine top-5
     on the sf0.01 embeddings. These embeddings are the realistic hard

@@ -20,7 +20,6 @@ from __future__ import annotations
 import json
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, "/root/repo")
 
@@ -30,10 +29,11 @@ from osmnetfusion_spark.session import get_session  # noqa: E402
 
 
 def n_completed_stages(spark) -> int:
-    url = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    with urllib.request.urlopen(f"{url}/api/v1/applications/{app}/stages") as r:
-        return len(json.load(r))
+    """Stages created so far (DAGScheduler's id counter; the session runs
+    with spark.ui.enabled=false so the REST status API is unavailable).
+    Counts scheduled stages -- exactly the per-barrier round-trip cost the
+    audit is about."""
+    return int(spark.sparkContext._jsc.sc().dagScheduler().nextStageId())
 
 
 def out_key(edges) -> str:
