@@ -500,6 +500,61 @@ Q_CONTAMINATION_SQL = f"""
 """
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (crawl-dedup key): four messy constructions
+    per part key -- upper-case scheme/host + default port + tracking
+    params + fragment, :443 on https, trailing slash, unsorted params --
+    pushed through pages.canonical_url (pure column expressions). The
+    oracle derives each canonical form from the construction arithmetic
+    directly, so a canonicalizer bug cannot hide in a twin
+    implementation."""
+    from .plans import pages as PG
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("k"))
+    h = F.concat(F.lit("example-"), (F.col("k") % 50).cast("string"))
+    kst = F.col("k").cast("string")
+    messy = (
+        F.when(
+            F.col("k") % 4 == 0,
+            F.concat(F.lit("HTTP://"), F.upper(h), F.lit(":80/path"), kst,
+                     F.lit("/?utm_source=x&b="), kst, F.lit("&a=1#frag")),
+        )
+        .when(
+            F.col("k") % 4 == 1,
+            F.concat(F.lit("https://"), h, F.lit(":443/path"), kst),
+        )
+        .when(
+            F.col("k") % 4 == 2,
+            F.concat(F.lit("http://"), h, F.lit(".COM/path"), kst,
+                     F.lit("/sub/?a=1&utm_campaign=z")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), F.initcap(h), F.lit("/path"), kst,
+                     F.lit("?z=2&a=1&fbclid=abc")),
+        )
+    )
+    return p.select(
+        "k",
+        PG.canonical_url(messy).alias("canonical"),
+    ).orderBy("k")
+
+
+Q_URL_CANONICAL_SQL = """
+  SELECT p_partkey AS k,
+         CASE p_partkey % 4
+           WHEN 0 THEN 'http://example-' || (p_partkey % 50) || '/path'
+                       || p_partkey || '?a=1&b=' || p_partkey
+           WHEN 1 THEN 'https://example-' || (p_partkey % 50) || '/path'
+                       || p_partkey
+           WHEN 2 THEN 'http://example-' || (p_partkey % 50) || '.com/path'
+                       || p_partkey || '/sub?a=1'
+           ELSE 'https://example-' || (p_partkey % 50) || '/path'
+                       || p_partkey || '?a=1&z=2'
+         END AS canonical
+  FROM part ORDER BY k
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary head (tokenizer-training shape): top-100 tokens
     by total occurrences with document frequency; hot stopword keys are
@@ -2094,6 +2149,7 @@ QUERIES = {
     "q_jaccard_pairs": (q_jaccard_pairs, Q_JACCARD_SQL),
     "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
     "q_vocab_topk": (q_vocab_topk, Q_VOCAB_TOPK_SQL),
+    "q_url_canonical": (q_url_canonical, Q_URL_CANONICAL_SQL),
     "q_simhash": (q_simhash, Q_SIMHASH_SQL),
     "q_minhash": (q_minhash_bands, Q_MINHASH_SQL),
     "q_ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),

@@ -23,6 +23,55 @@ _TAG_RE = re.compile(rb"<[^>]+>")
 _WS_RE = re.compile(rb"\s+")
 
 
+TRACKING_PARAMS = ("utm_", "fbclid=", "gclid=", "ref=")
+
+
+def canonical_url(url) -> "F.Column":
+    """Canonical URL form for crawl dedup (pure column expressions, no
+    UDF): lowercase scheme+host, strip the scheme's default port (:80 /
+    :443), drop the fragment, strip tracking query params
+    (utm_* / fbclid / gclid / ref), sort surviving params, and normalize
+    a trailing-slash path. Two crawls of the same resource with different
+    tracking junk then collapse in :func:`dedupe_latest` when keyed on
+    the canonical form.
+    """
+    no_frag = F.split(url, "#", 2)[0]
+    base = F.split(no_frag, r"\?", 2)[0]
+    qs = F.try_element_at(F.split(no_frag, r"\?", 2), F.lit(2))
+
+    scheme = F.lower(F.split(base, "://", 2)[0])
+    rest = F.try_element_at(F.split(base, "://", 2), F.lit(2))
+    host = F.lower(F.split(rest, "/", 2)[0])
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+
+    path_raw = F.coalesce(F.try_element_at(F.split(rest, "/", 2), F.lit(2)), F.lit(""))
+    path = F.concat(F.lit("/"), path_raw)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+
+    parts = F.split(F.coalesce(qs, F.lit("")), "&")
+    keep = F.filter(
+        parts,
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid=")
+        & ~p.startswith("gclid=")
+        & ~p.startswith("ref="),
+    )
+    query = F.array_join(F.array_sort(keep), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+
+
 def dedupe_latest(pages: DataFrame) -> DataFrame:
     """Latest crawl wins per url; deterministic tie-break on (warc_ts, text).
 

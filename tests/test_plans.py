@@ -169,3 +169,29 @@ def test_pbf_parse_is_distributed(spark):
     plan = _plan(spark, "q_pbf_roundtrip")
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_is_broadcast_probe(spark):
+    # benchmark shingles broadcast; corpus side never reaches a cartesian
+    # or a sort-merge over the full shingle explode
+    plan = _plan(spark, "q_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_topk_partial_agg_and_topk(spark):
+    # hot stopword keys must be absorbed map-side (partial + final
+    # HashAggregate) and the top-k must be TakeOrdered, not a full sort
+    plan = _plan(spark, "q_vocab_topk")
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_multitable_lsh_is_bucketed(spark):
+    # 3-table LSH: composite-bucket equi-join, queries broadcast; a
+    # cartesian over corpus x queries would defeat the whole operator
+    plan = _plan(spark, "q_ann_lsh_multitable")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
