@@ -500,6 +500,184 @@ Q_CONTAMINATION_SQL = f"""
 """
 
 
+def q_mode_access(spark, sf_dir):
+    """A6/A7 mode-access predicate aggregations (checkModeAccess,
+    p3_functions.py:1639-1690): per merged-edge group, walk/bike/motorized
+    access from the member rows' tags -- including the bike precedence
+    chain ((highways|bicycle-yes|tags) overridden False when ALL bicycle
+    values are 'no', overridden back True by any cycleway value) and the
+    motorized oneway+bike_only loss. Tag combos use co-prime moduli so
+    qualifying members are RARE -- each of the three flags genuinely
+    varies across the 600 small groups (asserted by the oracle's own
+    distribution); the oracle is an independent bool_or/bool_and
+    reformulation."""
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("k"))
+
+    k = F.col("k")
+    e = p.select(
+        (k % 600).alias("grp"),
+        F.when(k % 17 == 0, "residential")
+        .when(k % 17 == 1, "path")
+        .when(k % 17 == 2, "cycleway")
+        .otherwise("motorway")
+        .alias("highway"),
+        F.when(k % 19 == 0, "designated").otherwise("no").alias("foot"),
+        F.when(k % 23 == 0, 30.0).otherwise(90.0).alias("ms"),
+        F.when(k % 29 == 0, "both").otherwise("").alias("sidewalk"),
+        F.when(k % 9 == 0, "yes")
+        .when(k % 3 != 0, "no")
+        .otherwise("")
+        .alias("bicycle"),
+        F.when(k % 21 == 0, "lane").otherwise("").alias("cycleway"),
+        (k % 27 == 0).alias("btag"),
+        (k % 2 == 0).alias("oneway"),
+        F.when(k % 25 == 0, "bike_only").otherwise("yes").alias("label"),
+    )
+    return (
+        e.groupBy("grp")
+        .agg(
+            tags.walk_access_agg(
+                F.col("highway"), F.col("foot"), F.col("ms"), F.col("sidewalk")
+            ).alias("access_walk"),
+            tags.bike_access_agg(
+                F.col("highway"), F.col("bicycle"), F.col("cycleway"), F.col("btag")
+            ).alias("access_bike"),
+            tags.motorized_access_agg(
+                F.col("highway"), F.col("oneway"), F.col("label")
+            ).alias("access_motorized"),
+        )
+        .orderBy("grp")
+    )
+
+
+def _sql_in(col, vals):
+    return f"{col} IN (" + ", ".join(f"'{v}'" for v in vals) + ")"
+
+
+Q_MODE_ACCESS_SQL = f"""
+  WITH rows_ AS (
+    SELECT p_partkey % 600 AS grp,
+           CASE WHEN p_partkey % 17 = 0 THEN 'residential'
+                WHEN p_partkey % 17 = 1 THEN 'path'
+                WHEN p_partkey % 17 = 2 THEN 'cycleway'
+                ELSE 'motorway' END AS hw,
+           CASE WHEN p_partkey % 19 = 0 THEN 'designated' ELSE 'no' END AS foot,
+           CASE WHEN p_partkey % 23 = 0 THEN 30.0::DOUBLE ELSE 90.0::DOUBLE END AS ms,
+           CASE WHEN p_partkey % 29 = 0 THEN 'both' ELSE '' END AS sw,
+           CASE WHEN p_partkey % 9 = 0 THEN 'yes'
+                WHEN p_partkey % 3 != 0 THEN 'no' ELSE '' END AS bic,
+           CASE WHEN p_partkey % 21 = 0 THEN 'lane' ELSE '' END AS cw,
+           p_partkey % 27 = 0 AS btag,
+           p_partkey % 2 = 0 AS ow,
+           CASE WHEN p_partkey % 25 = 0 THEN 'bike_only' ELSE 'yes' END AS lbl
+    FROM part)
+  SELECT grp,
+         (bool_or({_sql_in('hw', tags.WALK_HIGHWAYS)})
+          OR bool_or(foot IN ('designated', 'yes'))
+          OR bool_or(ms <= 50)
+          OR bool_or(sw NOT IN ('no', ''))) AS access_walk,
+         ((bool_or({_sql_in('hw', tags.BIKE_HIGHWAYS)})
+           OR bool_or(bic IN ('yes', 'designated'))
+           OR bool_or(btag))
+          AND NOT bool_and(bic = 'no')
+          OR bool_or(cw != '')) AS access_bike,
+         (CASE WHEN bool_or(ow) AND bool_or(lbl = 'bike_only') THEN false
+               ELSE bool_or(NOT {_sql_in('hw', tags.NON_MOTORIZED_HIGHWAYS)})
+          END) AS access_motorized
+  FROM rows_ GROUP BY grp ORDER BY grp
+"""
+
+
+def q_merge_folds(spark, sf_dir):
+    """A3/A4/A5 + A1 merge-fold kernels (the AnEdge fold family,
+    p3_functions.py:1542-1601) driven through the REAL Python fold
+    functions (functions/folds.py) inside applyInPandas, not re-expressed
+    as column aggs: is_lit_py (any-yes incl. the 24/7 -> 247 listify
+    strip), mean_py over sparse doubles (0.25-quantized so float sums are
+    exact in any order), max fold over sparse widths, and get_param_py's
+    first-seen-order distinct union. Groups are sorted by key inside the
+    fold (the engine's explicit total order); the oracle reformulates
+    each fold independently in SQL (first-seen order via min-key
+    string_agg)."""
+    import pandas as pd_
+
+    from .functions import folds
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("k"))
+    k = F.col("k")
+    rows = p.select(
+        "k",
+        (k % 300).alias("grp"),
+        F.when(k % 13 == 0, "yes")
+        .when(k % 13 == 1, "24/7")
+        .when(k % 13 == 2, "no")
+        .otherwise("")
+        .alias("lit"),
+        F.when(k % 5 == 0, F.lit(None).cast("double"))
+        .otherwise((k % 97).cast("double") * 0.25)
+        .alias("grad"),
+        F.when(k % 4 == 0, F.lit(None).cast("double"))
+        .otherwise((k % 11).cast("double") * 0.5)
+        .alias("wd"),
+        F.when(k % 7 == 0, "marked")
+        .when(k % 7 == 1, "traffic_signals")
+        .when(k % 7 == 2, "island")
+        .when(k % 7 == 3, F.lit(None).cast("string"))
+        .otherwise("")
+        .alias("crossing"),
+    )
+
+    def fold(pdf: pd_.DataFrame) -> pd_.DataFrame:
+        pdf = pdf.sort_values("k")
+        xs = [float(a) for a in pdf["wd"] if not folds._is_missing(a)]
+        return pd_.DataFrame(
+            {
+                "grp": [int(pdf["grp"].iloc[0])],
+                "g_lit": [bool(folds.is_lit_py(pdf["lit"]))],
+                "g_gradient": [folds.mean_py(pdf["grad"])],
+                "g_width": [max(xs) if xs else None],
+                "g_crossing": [", ".join(folds.get_param_py(pdf["crossing"]) or [])],
+            }
+        )
+
+    out = rows.groupBy("grp").applyInPandas(
+        fold, "grp long, g_lit boolean, g_gradient double, g_width double, g_crossing string"
+    )
+    return out.orderBy("grp")
+
+
+Q_MERGE_FOLDS_SQL = """
+  WITH rows_ AS (
+    SELECT p_partkey AS k, p_partkey % 300 AS grp,
+           CASE WHEN p_partkey % 13 = 0 THEN 'yes'
+                WHEN p_partkey % 13 = 1 THEN '24/7'
+                WHEN p_partkey % 13 = 2 THEN 'no' ELSE '' END AS lit,
+           CASE WHEN p_partkey % 5 = 0 THEN NULL
+                ELSE CAST(p_partkey % 97 AS DOUBLE) * 0.25 END AS grad,
+           CASE WHEN p_partkey % 4 = 0 THEN NULL
+                ELSE CAST(p_partkey % 11 AS DOUBLE) * 0.5 END AS wd,
+           CASE WHEN p_partkey % 7 = 0 THEN 'marked'
+                WHEN p_partkey % 7 = 1 THEN 'traffic_signals'
+                WHEN p_partkey % 7 = 2 THEN 'island'
+                WHEN p_partkey % 7 = 3 THEN NULL ELSE '' END AS crossing
+    FROM part),
+  cx AS (
+    SELECT grp, crossing AS val, min(k) AS fk
+    FROM rows_ WHERE crossing IS NOT NULL AND crossing != ''
+    GROUP BY grp, crossing),
+  cagg AS (
+    SELECT grp, string_agg(val, ', ' ORDER BY fk) AS g_crossing
+    FROM cx GROUP BY grp)
+  SELECT r.grp,
+         bool_or(r.lit IN ('yes', '24/7')) AS g_lit,
+         CAST(avg(r.grad) AS DOUBLE) AS g_gradient,
+         CAST(max(r.wd) AS DOUBLE) AS g_width,
+         coalesce(any_value(c.g_crossing), '') AS g_crossing
+  FROM rows_ r LEFT JOIN cagg c USING (grp)
+  GROUP BY r.grp ORDER BY r.grp
+"""
+
+
 def q_url_canonical(spark, sf_dir):
     """URL canonicalization (crawl-dedup key): four messy constructions
     per part key -- upper-case scheme/host + default port + tracking
@@ -2150,6 +2328,8 @@ QUERIES = {
     "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
     "q_vocab_topk": (q_vocab_topk, Q_VOCAB_TOPK_SQL),
     "q_url_canonical": (q_url_canonical, Q_URL_CANONICAL_SQL),
+    "q_mode_access": (q_mode_access, Q_MODE_ACCESS_SQL),
+    "q_merge_folds": (q_merge_folds, Q_MERGE_FOLDS_SQL),
     "q_simhash": (q_simhash, Q_SIMHASH_SQL),
     "q_minhash": (q_minhash_bands, Q_MINHASH_SQL),
     "q_ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
