@@ -588,6 +588,54 @@ Q_MODE_ACCESS_SQL = f"""
 """
 
 
+_OV_RADII = [18.0, 16.0, 14.0, 12.0, 10.0, 6.0, 4.0]  # HIGHWAY_BUFFERS values
+
+
+def q_overlap_pairs(spark, sf_dir):
+    """J12 node-buffer spatial self-join (clusterNodes candidate
+    generation, p3_functions.py:371-430): disk-overlap pairs
+    dist(a,b) <= r_a + r_b over a scattered node field, via the engine's
+    cell-local dilated self-join (simplify._overlap_pairs) -- the oracle
+    is the brute-force all-pairs haversine test, so any cell-cover gap
+    (a neighbor missed at a cell boundary) or duplicate surfaces as a
+    row-count/hash break."""
+    from .plans import simplify
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("k"))
+    k = F.col("k")
+    nodes = p.select(
+        k.alias("osmid"),
+        (F.lit(11.5) + ((k * M1) % 1000).cast("double") * 1e-5).alias("x"),
+        (F.lit(48.1) + ((k * M2) % 1000).cast("double") * 1e-5).alias("y"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in _OV_RADII]), (k % 7 + 1).cast("int")
+        ).alias("buf_r"),
+    )
+    return (
+        simplify._overlap_pairs(nodes)
+        .select("ia", "ib")
+        .orderBy("ia", "ib")
+    )
+
+
+_OV_RAD_SQL = " ".join(
+    f"WHEN {i} THEN {r}" for i, r in enumerate(_OV_RADII)
+)
+_OV_HAV = geo.haversine_sql("a.y", "a.x", "b.y", "b.x")
+Q_OVERLAP_PAIRS_SQL = f"""
+  WITH n AS (
+    SELECT p_partkey AS osmid,
+           11.5 + CAST((p_partkey * {M1}) % 1000 AS DOUBLE) * 1e-5 AS x,
+           48.1 + CAST((p_partkey * {M2}) % 1000 AS DOUBLE) * 1e-5 AS y,
+           CASE p_partkey % 7 {_OV_RAD_SQL} END AS buf_r
+    FROM part)
+  SELECT a.osmid AS ia, b.osmid AS ib
+  FROM n a JOIN n b ON a.osmid < b.osmid
+  WHERE {_OV_HAV} <= a.buf_r + b.buf_r
+  ORDER BY ia, ib
+"""
+
+
 def q_merge_folds(spark, sf_dir):
     """A3/A4/A5 + A1 merge-fold kernels (the AnEdge fold family,
     p3_functions.py:1542-1601) driven through the REAL Python fold
@@ -2330,6 +2378,7 @@ QUERIES = {
     "q_url_canonical": (q_url_canonical, Q_URL_CANONICAL_SQL),
     "q_mode_access": (q_mode_access, Q_MODE_ACCESS_SQL),
     "q_merge_folds": (q_merge_folds, Q_MERGE_FOLDS_SQL),
+    "q_overlap_pairs": (q_overlap_pairs, Q_OVERLAP_PAIRS_SQL),
     "q_simhash": (q_simhash, Q_SIMHASH_SQL),
     "q_minhash": (q_minhash_bands, Q_MINHASH_SQL),
     "q_ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
