@@ -243,25 +243,45 @@ REL_SCHEMA = (
 )
 
 
-def parse_nodes(blobs: DataFrame, data_col: str = "data") -> DataFrame:
+def _decode_or_skip(blob: bytes, strict: bool):
+    """Decode one blob; in non-strict mode a corrupt blob (bad zlib
+    stream, truncated varint, unknown record kind) yields empty record
+    lists instead of failing the whole task -- at crawl scale a single
+    bad blob must not kill a 10^5-task stage, and the blob boundary is
+    exactly the independent-decode unit, so skipping loses only that
+    blob's records."""
+    try:
+        return _decode_blob(blob)
+    except Exception:
+        if strict:
+            raise
+        return [], [], []
+
+
+def parse_nodes(
+    blobs: DataFrame, data_col: str = "data", strict: bool = True
+) -> DataFrame:
     """Decode every blob's node records; one output row per node.
 
     mapInPandas over the binary column -- blobs decode independently and in
     parallel (mirrors osmium.SimpleHandler's node() callback emitting
-    dicts, p1_getFurtherOSMData.py:98-105)."""
+    dicts, p1_getFurtherOSMData.py:98-105). ``strict=False`` skips
+    corrupt blobs instead of failing the task."""
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for blob in pdf[data_col]:
-                for nid, lat, lon, tags in _decode_blob(blob)[0]:
+                for nid, lat, lon, tags in _decode_or_skip(blob, strict)[0]:
                     rows.append((nid, lat, lon, tags))
             yield pd.DataFrame(rows, columns=["node_id", "lat_1e7", "lon_1e7", "tags"])
 
     return blobs.mapInPandas(run, schema=NODE_SCHEMA)
 
 
-def parse_ways(blobs: DataFrame, data_col: str = "data") -> DataFrame:
+def parse_ways(
+    blobs: DataFrame, data_col: str = "data", strict: bool = True
+) -> DataFrame:
     """Decode every blob's way records (osmium way() analog,
     p1_getFurtherOSMData.py:106-111)."""
 
@@ -269,14 +289,16 @@ def parse_ways(blobs: DataFrame, data_col: str = "data") -> DataFrame:
         for pdf in it:
             rows = []
             for blob in pdf[data_col]:
-                for wid, refs, tags in _decode_blob(blob)[1]:
+                for wid, refs, tags in _decode_or_skip(blob, strict)[1]:
                     rows.append((wid, refs, tags))
             yield pd.DataFrame(rows, columns=["way_id", "refs", "tags"])
 
     return blobs.mapInPandas(run, schema=WAY_SCHEMA)
 
 
-def parse_relations(blobs: DataFrame, data_col: str = "data") -> DataFrame:
+def parse_relations(
+    blobs: DataFrame, data_col: str = "data", strict: bool = True
+) -> DataFrame:
     """Decode every blob's relation records (osmium relation() analog,
     p1_getFurtherOSMData.py:104-108: members as (type, ref, role) plus a
     tag dict)."""
@@ -285,7 +307,7 @@ def parse_relations(blobs: DataFrame, data_col: str = "data") -> DataFrame:
         for pdf in it:
             rows = []
             for blob in pdf[data_col]:
-                for rid, members, tags in _decode_blob(blob)[2]:
+                for rid, members, tags in _decode_or_skip(blob, strict)[2]:
                     rows.append((rid, members, tags))
             yield pd.DataFrame(rows, columns=["relation_id", "members", "tags"])
 

@@ -91,6 +91,25 @@ def test_roundtrip_property(raw):
     assert dn == [(i, la, lo, dict(t)) for i, la, lo, t in nodes]
 
 
+def test_corrupt_blob_strict_vs_skip(spark):
+    """strict (default) fails the task on a corrupt blob; strict=False
+    skips exactly that blob and decodes the rest -- the blob boundary is
+    the independent-decode unit."""
+    import pytest
+
+    good = pbf.encode_blob([(1, 10, 20, [("highway", "path")])])
+    corrupt = b"\x78\x9c" + b"\xde\xad\xbe\xef" * 4  # bad zlib stream
+    blobs = spark.createDataFrame(
+        [(0, good), (1, corrupt)], "blob_id long, data binary"
+    )
+    with pytest.raises(Exception):
+        pbf.parse_nodes(blobs).count()
+    rows = pbf.parse_nodes(blobs, strict=False).collect()
+    assert [(r.node_id, r.lat_1e7, r.lon_1e7) for r in rows] == [(1, 10, 20)]
+    assert pbf.parse_ways(blobs, strict=False).count() == 0
+    assert pbf.parse_relations(blobs, strict=False).count() == 0
+
+
 def test_pt_stops_from_relations(spark):
     """End-to-end: blobs -> parse -> PT-stop extraction, mirroring the
     reference's relation loop (p1_getFurtherOSMData.py:121-151): node
