@@ -155,6 +155,42 @@ def test_pt_stops_from_relations(spark):
     assert r.geometry is None
 
 
+def test_manual_pbf_pt_path_feeds_enrichment(spark):
+    """The reference's manual-PBF fallback end-to-end: PBF blobs ->
+    relations -> PT stops -> add_pt_stops over a car-accessible edge.
+    A user replaying p1_getFurtherOSMData.py's manual path then
+    p2_enrichData's PT snap gets the same flow here."""
+    from pyspark.sql import functions as F
+
+    from osmnetfusion_spark.plans import enrich
+
+    # one residential edge along the equator near (0, 0)
+    edges = spark.createDataFrame(
+        [(1, "residential", [[0.0, 0.0], [0.001, 0.0]])],
+        "edge_id long, highway string, geometry array<array<double>>",
+    ).withColumn("length", enrich.polyline_length_col(F.col("geometry")))
+
+    # relation: bus route with one node member ~11 m north of the edge
+    nodes = [(7, 1_000, 5_000, [])]  # lat 1e-4 deg ~ 11 m north, lon 5e-4
+    relations = [(100, [("n", 7, "stop")], [("route", "bus"), ("name", "L1")])]
+    blobs = spark.createDataFrame(
+        [(0, pbf.encode_blob(nodes, [], relations))], "blob_id long, data binary"
+    )
+    stops = pbf.pt_stops_from_relations(
+        pbf.parse_relations(blobs), pbf.parse_nodes(blobs), pbf.parse_ways(blobs)
+    )
+    # adapt to the pt_stops input schema (member_ref, name, lat, lon)
+    pt = stops.filter(F.col("geometry").isNotNull()).select(
+        "member_ref", "name",
+        F.element_at("geometry", 1)[1].alias("lat"),
+        F.element_at("geometry", 1)[0].alias("lon"),
+    )
+    out = enrich.add_pt_stops(edges, pt).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.pt_stop_on, r.pt_stop_count, r.pt_stop_routes) == (1, 1, "L1")
+
+
 def test_shingle_fast_kernel_matches_column_kernel(spark):
     """The Arrow-batched shingle kernel must produce byte-identical arrays
     to the interpreted column-expression definition (the oracle side)."""
