@@ -56,6 +56,41 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def sessionize_native(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows via the BUILT-IN ``session_window`` operator --
+    Catalyst's native gap-based session aggregation (incremental state
+    store in streaming, whole-stage-codegen'd in batch). Same session
+    semantics as the custom :func:`sessionize`
+    (applyInPandasWithState): a new session starts when the gap to the
+    previous event exceeds ``gap``.
+
+    Keep BOTH: the custom operator is the §2.8 'custom stateful
+    operator' surface (and carries the reference-shaped integer-micros
+    sums); this is the built-in path a Spark-first user should reach for
+    first -- the equivalence test pins that they agree on session
+    boundaries and counts.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * F.lit(1000000.0)).cast("long")).alias(
+                "sum_value_micros"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value_micros",
+        )
+    )
+
+
 SESSION_OUT = "user_id long, session_start timestamp, session_end timestamp, n_events long, sum_value double"
 SESSION_STATE = "start long, end long, n long, sv double"
 

@@ -199,3 +199,33 @@ def test_salted_list_agg_matches_plain(spark):
         for r in salted_list_agg(df, ["k"], "v", out="vals", n_salt=4).collect()
     }
     assert got4 == want
+
+
+def test_input_bytes_handles_uri_forms_and_fails_safe(spark, tmp_path):
+    """Broadcast size guard (_input_bytes): both file URI renderings
+    resolve; an unreadable file reads as 'too big' (inf), never as
+    'no estimate' -- None would silently re-enable the broadcast hint
+    for an unsizeable build side (ADVICE r2)."""
+    from osmnetfusion_spark.operators import spatial
+
+    p = str(tmp_path / "sz.parquet")
+    spark.range(0, 1000).write.parquet(p)
+    df = spark.read.parquet(p)
+    est = spatial._input_bytes(df)
+    assert est is not None and 0 < est < 1 << 20
+
+    import os
+
+    real = [f for f in os.listdir(p) if f.endswith(".parquet")][0]
+    size = os.path.getsize(os.path.join(p, real))
+    # both URI forms the JVM can emit must resolve to the same file
+    for uri in (f"file://{p}/{real}", f"file:{p}/{real}"):
+        class Fake:
+            def inputFiles(self):
+                return [uri]
+        assert spatial._input_bytes(Fake()) == size
+
+    class Gone:
+        def inputFiles(self):
+            return ["file:///nonexistent/definitely/missing.parquet"]
+    assert spatial._input_bytes(Gone()) == float("inf")
