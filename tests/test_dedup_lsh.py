@@ -65,6 +65,28 @@ def test_lsh_scales_without_overflow(spark):
     assert n < 400 * 20, f"candidate explosion: {n}"
 
 
+def test_near_dup_lsh_pair_recall(spark):
+    """LSH-candidate near-dup scale path vs the exact blocked product on
+    sf0.01: perfect precision by construction (exact-cosine verify), and
+    pair recall >= 0.95 at the default planes=3 x 16 tables (measured
+    0.991; threshold pairs sit right AT the cos 0.30 margin, the hardest
+    recall regime). Deterministic -- fixed planes, fixed data."""
+    from osmnetfusion_spark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(e, threshold=0.30).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs_lsh(e, threshold=0.30).collect()
+    }
+    assert approx <= exact  # exact verify => no false positives
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, f"pair recall {recall:.3f} < 0.95 ({len(exact)} exact pairs)"
+
+
 def test_contamination_check_semantics(spark):
     """Crafted corpus: exact copy of a benchmark item -> full overlap;
     partial rewrite -> counted shared n-grams only; disjoint text -> no
