@@ -588,6 +588,82 @@ Q_MODE_ACCESS_SQL = f"""
 """
 
 
+def q_width_join(spark, sf_dir):
+    """J9 width CSV join (p2_enrichData.py:468-493): per-osmid MIN width
+    over a duplicated messy widths table, broadcast left-merged onto the
+    edges -- unmatched edges keep NULL. Runs the real
+    enrich.add_cycle_path_width."""
+    from .plans import enrich
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("k"))
+    edges = p.filter(F.col("k") < 500).select(F.col("k").alias("osmid"))
+    widths = p.filter(F.col("k") % 3 == 0).select(
+        (F.col("k") % 500).alias("osmid"),
+        (F.lit(1.2) + (F.col("k") % 7).cast("double") * 0.25).alias(
+            "width_cycle_path"
+        ),
+    )
+    return enrich.add_cycle_path_width(edges, widths).orderBy("osmid")
+
+
+Q_WIDTH_JOIN_SQL = """
+  WITH e AS (SELECT p_partkey AS osmid FROM part WHERE p_partkey < 500),
+  w AS (
+    SELECT p_partkey % 500 AS osmid,
+           min(1.2 + CAST(p_partkey % 7 AS DOUBLE) * 0.25) AS width_cycle_path
+    FROM part WHERE p_partkey % 3 = 0 GROUP BY 1)
+  SELECT e.osmid, CAST(w.width_cycle_path AS DOUBLE) AS width_cycle_path
+  FROM e LEFT JOIN w USING (osmid) ORDER BY osmid
+"""
+
+
+_BUF_HWS = [
+    "trunk", "primary", "secondary", "tertiary", "residential", "cycleway",
+    "path", "footway", "service", "steps", "bridleway", "unclassified",
+    "living_street",
+]
+
+
+def q_buffer_radius(spark, sf_dir):
+    """G2 node buffering (p3_functions.py:288-341): metre buffer radius
+    keyed on the node's top-ranked connected highway, default 4.0 for
+    unlisted types (the pool includes two unlisted ones so the default
+    branch fires). Runs the real simplify.add_buffer_radius."""
+    from .plans import simplify
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("k"))
+    nodes = p.select(
+        F.col("k").alias("osmid"),
+        F.element_at(
+            F.array(*[F.lit(h) for h in _BUF_HWS]),
+            (F.col("k") % 13 + 1).cast("int"),
+        ).alias("highway_conn"),
+    )
+    return (
+        simplify.add_buffer_radius(nodes)
+        .select("osmid", "highway_conn", F.col("buf_r").cast("double").alias("buf_r"))
+        .orderBy("osmid")
+    )
+
+
+def _q_buffer_radius_sql():
+    from .plans.simplify import BUFFER_DEFAULT, HIGHWAY_BUFFERS
+
+    hw = " ".join(
+        f"WHEN {i} THEN '{h}'" for i, h in enumerate(_BUF_HWS)
+    )
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in HIGHWAY_BUFFERS.items()
+    )
+    return f"""
+      SELECT p_partkey AS osmid,
+             CASE p_partkey % 13 {hw} END AS highway_conn,
+             CAST(CASE (CASE p_partkey % 13 {hw} END) {cases}
+                  ELSE {BUFFER_DEFAULT} END AS DOUBLE) AS buf_r
+      FROM part ORDER BY osmid
+    """
+
+
 _OV_RADII = [18.0, 16.0, 14.0, 12.0, 10.0, 6.0, 4.0]  # HIGHWAY_BUFFERS values
 
 
@@ -2379,6 +2455,8 @@ QUERIES = {
     "q_mode_access": (q_mode_access, Q_MODE_ACCESS_SQL),
     "q_merge_folds": (q_merge_folds, Q_MERGE_FOLDS_SQL),
     "q_overlap_pairs": (q_overlap_pairs, Q_OVERLAP_PAIRS_SQL),
+    "q_width_join": (q_width_join, Q_WIDTH_JOIN_SQL),
+    "q_buffer_radius": (q_buffer_radius, _q_buffer_radius_sql()),
     "q_simhash": (q_simhash, Q_SIMHASH_SQL),
     "q_minhash": (q_minhash_bands, Q_MINHASH_SQL),
     "q_ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
