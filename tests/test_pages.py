@@ -68,3 +68,45 @@ def test_hot_cell_skew_exists(spark):
         .collect()
     )
     assert counts[0]["count"] > 5 * counts[1]["count"]
+
+
+def test_canonical_url_idempotent_and_collapses_variants(spark):
+    """Idempotence is THE canonicalizer property (a non-idempotent key
+    splits dedup groups on re-crawl); plus: known variant families must
+    collapse to one canonical form, and distinct resources must not."""
+    from pyspark.sql import functions as F
+
+    from osmnetfusion_spark.plans import pages as PG
+
+    variants = [
+        "HTTP://ExAmple.COM:80/a/b/?utm_source=x&z=1&a=2#frag",
+        "http://example.com/a/b?a=2&z=1",
+        "http://example.com/a/b/?z=1&a=2&fbclid=xyz",
+    ]
+    others = [
+        "https://example.com/a/b?a=2&z=1",   # scheme differs
+        "http://example.com/a/b?a=3&z=1",    # param value differs
+        "http://example.com/a",              # path differs
+        "http://example.com:8080/a/b",       # non-default port kept
+        "http://example.com/",               # root path
+        "http://example.com",                # no path at all
+    ]
+    df = spark.createDataFrame([(u,) for u in variants + others], "url string")
+    out = df.select(
+        "url",
+        PG.canonical_url(F.col("url")).alias("c1"),
+    ).select("url", "c1", PG.canonical_url(F.col("c1")).alias("c2"))
+    rows = out.collect()
+    for r in rows:
+        assert r.c2 == r.c1, f"not idempotent: {r.url} -> {r.c1} -> {r.c2}"
+    canon = {r.url: r.c1 for r in rows}
+    assert len({canon[u] for u in variants}) == 1
+    assert canon[variants[0]] == "http://example.com/a/b?a=2&z=1"
+    # every genuinely-distinct resource stays distinct from the variant
+    # family and each other (the two root forms are checked below -- they
+    # SHOULD collapse)
+    vals = [canon[u] for u in others[:4]]
+    assert len(set(vals)) == len(vals)
+    assert canon[variants[0]] not in vals
+    # root with and without trailing slash agree
+    assert canon["http://example.com/"] == canon["http://example.com"] == "http://example.com/"
