@@ -588,6 +588,97 @@ Q_MODE_ACCESS_SQL = f"""
 """
 
 
+def q_split_in_buffers(spark, sf_dir):
+    """G4/J13 splitEdgeIfInNodeBuffer (p3_functions.py:486-578) on a
+    constructed field: one horizontal 2-point edge per part key at its
+    own latitude lane (22 m apart -- no cross-lane disk reach at r=12 m),
+    with single-node clusters 5-8 m off the edge so the disk intersects,
+    neither endpoint is inside, and the nearest-point split lands at the
+    node's longitude (for a horizontal segment the equirectangular
+    projection reduces to pure x-interpolation, so the split x equals the
+    cluster x to well below the 9-dp rounding). k%3==2 edges get no
+    cluster (no-split control); k%5==0 edges get a SECOND cluster ->
+    two ordered splits. The oracle derives every piece's id arithmetic
+    (first piece keeps osmid; piece j -> SPLIT_ID_BASE + osmid*100 + j,
+    shared split-node ids stitching u/v) and endpoint coordinates in
+    closed form. Exercises the REAL single-pass operator end-to-end."""
+    from .plans import simplify
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("k"))
+    k = F.col("k")
+    yk = k.cast("double") * 0.0002
+    edges = p.select(
+        k.alias("osmid"),
+        k.alias("u"),
+        (k + 100000).alias("v"),
+        F.array(
+            F.array(F.lit(0.0), yk), F.array(F.lit(0.004), yk)
+        ).alias("geometry"),
+        F.lit(0.0).alias("length"),
+    )
+    m = 1.0 / 111194.92664455873  # 1 metre in degrees latitude (M_PER_DEG)
+    px1 = F.lit(0.001) + (k % 2).cast("double") * 0.0005
+    py1 = yk + (F.lit(5.0) + (k % 4).cast("double")) * F.lit(m)
+    n1 = p.filter(k % 3 != 2).select(
+        (k + 10_000_000).alias("osmid"), px1.alias("x"), py1.alias("y"),
+        F.lit(12.0).alias("buf_r"), (k + 10_000_000).alias("merged_by"),
+        px1.alias("cx"), py1.alias("cy"),
+    )
+    px2 = F.lit(0.0027)
+    py2 = yk - (F.lit(4.0) + (k % 3).cast("double")) * F.lit(m)
+    n2 = p.filter((k % 3 != 2) & (k % 5 == 0)).select(
+        (k + 20_000_000).alias("osmid"), px2.alias("x"), py2.alias("y"),
+        F.lit(12.0).alias("buf_r"), (k + 20_000_000).alias("merged_by"),
+        px2.alias("cx"), py2.alias("cy"),
+    )
+    out, _sp = simplify.split_edges_in_buffers(edges, n1.unionByName(n2))
+    return out.select(
+        "osmid", "u", "v",
+        F.size("geometry").cast("int").alias("n_coords"),
+        F.round(F.element_at("geometry", 1)[0], 9).alias("x0"),
+        F.round(F.element_at("geometry", 1)[1], 9).alias("y0"),
+        F.round(F.element_at("geometry", -1)[0], 9).alias("x1"),
+        F.round(F.element_at("geometry", -1)[1], 9).alias("y1"),
+    ).orderBy("osmid")
+
+
+_SPLIT_BASE = 10_000_000_000_00  # simplify.SPLIT_ID_BASE
+Q_SPLIT_IN_BUFFERS_SQL = f"""
+  WITH base AS (
+    SELECT p_partkey AS k,
+           round(p_partkey * CAST(0.0002 AS DOUBLE), 9) AS yk,
+           round(0.001 + CAST(p_partkey % 2 AS DOUBLE) * 0.0005, 9) AS s1,
+           CAST(0.0027 AS DOUBLE) AS s2,
+           p_partkey % 3 != 2 AS has1,
+           p_partkey % 3 != 2 AND p_partkey % 5 = 0 AS has2,
+           {_SPLIT_BASE} + p_partkey * 100 AS b
+    FROM part),
+  pieces AS (
+    -- unsplit edges pass through unchanged
+    SELECT k AS osmid, k AS u, k + 100000 AS v, yk,
+           CAST(0.0 AS DOUBLE) AS x0, CAST(0.004 AS DOUBLE) AS x1
+    FROM base WHERE NOT has1
+    UNION ALL
+    -- one split: [0, s1] + [s1, end]
+    SELECT k, k, b, yk, 0.0, s1 FROM base WHERE has1 AND NOT has2
+    UNION ALL
+    SELECT b + 1, b, k + 100000, yk, s1, CAST(0.004 AS DOUBLE)
+    FROM base WHERE has1 AND NOT has2
+    UNION ALL
+    -- two splits: [0, s1] + [s1, s2] + [s2, end]
+    SELECT k, k, b, yk, 0.0, s1 FROM base WHERE has2
+    UNION ALL
+    SELECT b + 1, b, b + 1, yk, s1, s2 FROM base WHERE has2
+    UNION ALL
+    SELECT b + 2, b + 1, k + 100000, yk, s2, CAST(0.004 AS DOUBLE)
+    FROM base WHERE has2)
+  SELECT osmid, u, v, CAST(2 AS INT) AS n_coords,
+         round(x0, 9) AS x0, yk AS y0,
+         round(x1, 9) AS x1, yk AS y1
+  FROM pieces ORDER BY osmid
+"""
+
+
 def q_width_join(spark, sf_dir):
     """J9 width CSV join (p2_enrichData.py:468-493): per-osmid MIN width
     over a duplicated messy widths table, broadcast left-merged onto the
@@ -2455,6 +2546,7 @@ QUERIES = {
     "q_mode_access": (q_mode_access, Q_MODE_ACCESS_SQL),
     "q_merge_folds": (q_merge_folds, Q_MERGE_FOLDS_SQL),
     "q_overlap_pairs": (q_overlap_pairs, Q_OVERLAP_PAIRS_SQL),
+    "q_split_in_buffers": (q_split_in_buffers, Q_SPLIT_IN_BUFFERS_SQL),
     "q_width_join": (q_width_join, Q_WIDTH_JOIN_SQL),
     "q_buffer_radius": (q_buffer_radius, _q_buffer_radius_sql()),
     "q_simhash": (q_simhash, Q_SIMHASH_SQL),
