@@ -679,6 +679,86 @@ Q_SPLIT_IN_BUFFERS_SQL = f"""
 """
 
 
+def q_reassign(spark, sf_dir):
+    """G5 reassignNodes (p3_functions.py:580-652) on a constructed field:
+    per key a horizontal 3-point edge A-M-B with u/v optionally mapped to
+    cluster reps. Exercises every trim branch of the faithful elif chain
+    -- u-unmapped (mid=coords[1:], duplicate tail point), v-unmapped
+    (mid=coords[:-1]), both-mapped (full mid), and the crossing-reps
+    degenerate (argmin trim empties the mid entirely: rep-to-rep
+    straight line). Every output coordinate is an INPUT value (the trim
+    picks, never computes, points), so the oracle enumerates the five
+    case shapes exactly with zero float arithmetic."""
+    from .plans import simplify
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("k"))
+    k = F.col("k")
+    yk = k.cast("double") * 0.0002
+    edges = p.select(
+        k.alias("osmid"),
+        k.alias("u"),
+        (k + 100000).alias("v"),
+        F.array(
+            F.array(F.lit(0.0), yk),
+            F.array(F.lit(0.002), yk),
+            F.array(F.lit(0.004), yk),
+        ).alias("geometry"),
+        F.lit(0.0).alias("length"),
+    )
+    u_mapped = (k % 2 == 0) | (k % 7 == 0)
+    v_mapped = (k % 3 == 0) | (k % 7 == 0)
+    crossed = k % 7 == 0
+    cu_x = F.when(crossed, 0.005).otherwise(-0.001)
+    cv_x = F.when(crossed, -0.001).otherwise(0.005)
+    nu = p.filter(u_mapped).select(
+        k.alias("osmid"), (k + 50_000_000).alias("merged_by"),
+        cu_x.alias("cx"), yk.alias("cy"),
+    )
+    nv = p.filter(v_mapped).select(
+        (k + 100000).alias("osmid"), (k + 60_000_000).alias("merged_by"),
+        cv_x.alias("cx"), yk.alias("cy"),
+    )
+    out = simplify.reassign_nodes(edges, nu.unionByName(nv))
+    return out.select(
+        "osmid", "new_u", "new_v",
+        F.size("geom_reassigned").cast("int").alias("n_rea"),
+        F.round(F.element_at("geom_reassigned", 1)[0], 9).alias("rx0"),
+        F.round(F.element_at("geom_reassigned", 2)[0], 9).alias("rx1"),
+        F.round(F.element_at("geom_reassigned", -1)[0], 9).alias("rxl"),
+        F.round(F.element_at("geom_linear", 1)[0], 9).alias("lx0"),
+        F.round(F.element_at("geom_linear", -1)[0], 9).alias("lxl"),
+    ).orderBy("osmid")
+
+
+Q_REASSIGN_SQL = """
+  WITH base AS (
+    SELECT p_partkey AS k,
+           (p_partkey % 2 = 0 OR p_partkey % 7 = 0) AS um,
+           (p_partkey % 3 = 0 OR p_partkey % 7 = 0) AS vm,
+           p_partkey % 7 = 0 AS crossed
+    FROM part),
+  c AS (
+    SELECT k, um, vm, crossed,
+           CASE WHEN NOT um THEN CAST(0.0 AS DOUBLE)
+                WHEN crossed THEN 0.005 ELSE -0.001 END AS upx,
+           CASE WHEN NOT vm THEN CAST(0.004 AS DOUBLE)
+                WHEN crossed THEN -0.001 ELSE 0.005 END AS vpx
+    FROM base)
+  SELECT k AS osmid,
+         CASE WHEN um THEN k + 50000000 ELSE k END AS new_u,
+         CASE WHEN vm THEN k + 60000000 ELSE k + 100000 END AS new_v,
+         CAST(CASE WHEN crossed THEN 2
+                   WHEN um AND vm THEN 5 ELSE 4 END AS INT) AS n_rea,
+         upx AS rx0,
+         CASE WHEN crossed THEN vpx          -- [cu, cv]
+              WHEN um THEN CAST(0.0 AS DOUBLE)   -- [cu, A, ...]
+              ELSE CAST(0.002 AS DOUBLE) END AS rx1,  -- [A, M, ...]
+         vpx AS rxl,
+         upx AS lx0, vpx AS lxl
+  FROM c ORDER BY osmid
+"""
+
+
 def q_width_join(spark, sf_dir):
     """J9 width CSV join (p2_enrichData.py:468-493): per-osmid MIN width
     over a duplicated messy widths table, broadcast left-merged onto the
@@ -2547,6 +2627,7 @@ QUERIES = {
     "q_merge_folds": (q_merge_folds, Q_MERGE_FOLDS_SQL),
     "q_overlap_pairs": (q_overlap_pairs, Q_OVERLAP_PAIRS_SQL),
     "q_split_in_buffers": (q_split_in_buffers, Q_SPLIT_IN_BUFFERS_SQL),
+    "q_reassign": (q_reassign, Q_REASSIGN_SQL),
     "q_width_join": (q_width_join, Q_WIDTH_JOIN_SQL),
     "q_buffer_radius": (q_buffer_radius, _q_buffer_radius_sql()),
     "q_simhash": (q_simhash, Q_SIMHASH_SQL),
