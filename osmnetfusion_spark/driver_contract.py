@@ -759,6 +759,85 @@ Q_REASSIGN_SQL = """
 """
 
 
+def q_merge_nodes(spark, sf_dir):
+    """G6 mergeNodes (p3_functions.py:654-698 + Node :1412-1474) through
+    the REAL grouped-map fold: per cluster, rep = (highway_rank desc,
+    osmid asc) first member (no self-rep in the construction, so the
+    fallback branch is the one exercised), g_infra = sorted distinct
+    union of highway+crossing values, crossing/signal flags, and the
+    py_list_str serializations of member ids / highway_conn / int
+    ranks. The oracle rebuilds every list with DISTINCT ordered
+    string_agg and repr quoting."""
+    from .plans import merge
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("k"))
+    k = F.col("k")
+    nodes = p.select(
+        k.alias("osmid"),
+        (k % 400 + 30_000_000).alias("merged_by"),
+        (k.cast("double") * 1e-6).alias("cx"),
+        (k.cast("double") * 2e-6).alias("cy"),
+        F.when(k % 4 == 0, "residential")
+        .when(k % 4 == 1, "primary")
+        .when(k % 4 == 2, "service")
+        .otherwise("")
+        .alias("highway"),
+        F.when(k % 6 == 0, "crossing")
+        .when(k % 6 == 1, "traffic_signals")
+        .when(k % 6 == 2, "marked")
+        .otherwise("")
+        .alias("crossing"),
+        F.when(k % 3 == 0, "residential")
+        .when(k % 3 == 1, "primary")
+        .otherwise("service")
+        .alias("highway_conn"),
+        ((k % 5).cast("double")).alias("highway_rank"),
+    )
+    return merge.merge_nodes(nodes).orderBy("g_id")
+
+
+Q_MERGE_NODES_SQL = """
+  WITH n AS (
+    SELECT p_partkey AS k, p_partkey % 400 + 30000000 AS grp,
+           CAST(p_partkey AS DOUBLE) * 1e-6 AS cx,
+           CAST(p_partkey AS DOUBLE) * 2e-6 AS cy,
+           CASE p_partkey % 4 WHEN 0 THEN 'residential' WHEN 1 THEN 'primary'
+                WHEN 2 THEN 'service' ELSE '' END AS hw,
+           CASE p_partkey % 6 WHEN 0 THEN 'crossing' WHEN 1 THEN 'traffic_signals'
+                WHEN 2 THEN 'marked' ELSE '' END AS xing,
+           CASE p_partkey % 3 WHEN 0 THEN 'residential' WHEN 1 THEN 'primary'
+                ELSE 'service' END AS conn,
+           p_partkey % 5 AS rank_i,
+           row_number() OVER (PARTITION BY p_partkey % 400
+                              ORDER BY p_partkey % 5 DESC, p_partkey ASC) AS rn
+    FROM part),
+  infra AS (
+    SELECT grp, '[' || coalesce(
+             string_agg(DISTINCT '''' || v || '''', ', ' ORDER BY '''' || v || ''''), ''
+           ) || ']' AS g_infra,
+           coalesce(bool_or(v = 'crossing'), false) AS g_crossing,
+           coalesce(bool_or(v = 'traffic_signals'), false) AS g_signals
+    FROM (SELECT grp, hw AS v FROM n UNION ALL SELECT grp, xing FROM n) __u
+    WHERE v != '' GROUP BY grp),
+  lists AS (
+    SELECT grp,
+           '[' || string_agg(CAST(k AS VARCHAR), ', ' ORDER BY k) || ']' AS l_id,
+           '[' || string_agg(DISTINCT '''' || conn || '''', ', '
+                             ORDER BY '''' || conn || '''') || ']' AS l_hw_conn,
+           '[' || string_agg(DISTINCT CAST(rank_i AS VARCHAR), ', '
+                             ORDER BY CAST(rank_i AS VARCHAR)) || ']' AS l_hw_rank
+    FROM n GROUP BY grp),
+  rep AS (SELECT grp, cx AS g_x, cy AS g_y FROM n WHERE rn = 1)
+  SELECT r.grp AS g_id, r.g_x, r.g_y,
+         coalesce(i.g_infra, '[]') AS g_infra,
+         coalesce(i.g_crossing, false) AS g_crossing,
+         coalesce(i.g_signals, false) AS g_signals,
+         l.l_id, CAST(NULL AS VARCHAR) AS l_osmid, l.l_hw_conn, l.l_hw_rank
+  FROM rep r JOIN lists l USING (grp) LEFT JOIN infra i USING (grp)
+  ORDER BY g_id
+"""
+
+
 def q_width_join(spark, sf_dir):
     """J9 width CSV join (p2_enrichData.py:468-493): per-osmid MIN width
     over a duplicated messy widths table, broadcast left-merged onto the
@@ -2628,6 +2707,7 @@ QUERIES = {
     "q_overlap_pairs": (q_overlap_pairs, Q_OVERLAP_PAIRS_SQL),
     "q_split_in_buffers": (q_split_in_buffers, Q_SPLIT_IN_BUFFERS_SQL),
     "q_reassign": (q_reassign, Q_REASSIGN_SQL),
+    "q_merge_nodes": (q_merge_nodes, Q_MERGE_NODES_SQL),
     "q_width_join": (q_width_join, Q_WIDTH_JOIN_SQL),
     "q_buffer_radius": (q_buffer_radius, _q_buffer_radius_sql()),
     "q_simhash": (q_simhash, Q_SIMHASH_SQL),
