@@ -195,3 +195,26 @@ def test_multitable_lsh_is_bucketed(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_in_buffers_is_cell_local(spark):
+    # G4: edge x cluster-disk candidate generation must be the cell
+    # equi-join, never a cartesian edge x node product
+    plan = _plan(spark, "q_split_in_buffers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan  # the split refinement is Arrow-batched
+
+
+def test_reassign_is_broadcast_remap(spark):
+    # G5/J14: the node->rep map must broadcast (it is cluster-count sized)
+    plan = _plan(spark, "q_reassign")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_nodes_is_grouped_map(spark):
+    # G6: one shuffle on merged_by into an Arrow grouped-map fold
+    plan = _plan(spark, "q_merge_nodes")
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
