@@ -1107,6 +1107,46 @@ Q_URL_CANONICAL_SQL = """
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (duplicate-line fraction +
+    top-bigram fraction, Rae et al. 2021 repetition filters) as pure
+    column expressions. Documents are single-line, so the dup-line signal
+    is exercised by construction: doc_id%3==0 doubles its own text
+    (dup 0.5), %3==1 appends a unique line (dup 0.0); the bigram mode
+    varies naturally with each text's token stream and is computed by a
+    sorted-array longest-equal-run fold (no shuffle, no UDF)."""
+    from .operators import textstats
+
+    d = _t(spark, sf_dir, "documents")
+    t2 = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat_ws("\n", "text", "text"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat_ws("\n", F.col("text"), F.concat(F.lit("uniq "), F.col("doc_id").cast("string"))),
+        )
+        .otherwise(F.col("text"))
+    )
+    return textstats.repetition_stats(
+        d.select("doc_id", t2.alias("text"))
+    ).orderBy("doc_id")
+
+
+def _q_repetition_sql():
+    from .operators.textstats import repetition_stats_sql
+
+    t2 = (
+        "CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || text "
+        "WHEN doc_id % 3 = 1 THEN text || chr(10) || 'uniq ' || doc_id "
+        "ELSE text END"
+    )
+    ex = repetition_stats_sql(f"({t2})")
+    return f"""
+      SELECT doc_id, {ex['dup_line_frac']} AS dup_line_frac,
+             {ex['top_bigram_frac']} AS top_bigram_frac
+      FROM documents ORDER BY doc_id
+    """
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary head (tokenizer-training shape): top-100 tokens
     by total occurrences with document frequency; hot stopword keys are
@@ -2701,6 +2741,7 @@ QUERIES = {
     "q_jaccard_pairs": (q_jaccard_pairs, Q_JACCARD_SQL),
     "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
     "q_vocab_topk": (q_vocab_topk, Q_VOCAB_TOPK_SQL),
+    "q_repetition": (q_repetition, _q_repetition_sql()),
     "q_url_canonical": (q_url_canonical, Q_URL_CANONICAL_SQL),
     "q_mode_access": (q_mode_access, Q_MODE_ACCESS_SQL),
     "q_merge_folds": (q_merge_folds, Q_MERGE_FOLDS_SQL),

@@ -200,3 +200,82 @@ def vocab_topk(
     return counts.orderBy(
         F.col("n_occurrences").desc(), F.col("token").asc()
     ).limit(k)
+
+
+def repetition_stats(docs, text_col: str = "text", doc_id: str = "doc_id"):
+    """Gopher-style repetition signals (Rae et al. 2021 repetition
+    filters), pure column expressions:
+
+    - dup_line_frac: 1 - distinct(lines)/lines over newline-split lines
+      (empty lines dropped) -- boilerplate/navigation chrome detector.
+    - top_bigram_frac: occurrences of the most frequent word bigram /
+      total bigrams -- degenerate-generation detector.
+
+    Both are per-row expressions (no shuffle; the bigram mode runs as a
+    sorted-array scan inside the row), so the filter composes with any
+    scan at full codegen speed.
+    """
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    toks = tokens_col(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws("\x1f", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sorted_g = F.array_sort(grams)
+    # longest run of equal adjacent values in the sorted array == max count
+    run = F.aggregate(
+        sorted_g,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_bigram_frac = F.when(
+        F.size(grams) > 0, run.cast("double") / F.size(grams).cast("double")
+    ).otherwise(F.lit(0.0))
+
+    return docs.select(
+        F.col(doc_id),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+    )
+
+
+def repetition_stats_sql(text: str) -> dict[str, str]:
+    """DuckDB twins of :func:`repetition_stats` (exact same fractions)."""
+    lines = f"list_filter(string_split({text}, chr(10)), ln -> trim(ln) != '')"
+    n_lines = f"length({lines})"
+    dup = (
+        f"CASE WHEN {n_lines} > 0 THEN round(1.0 - "
+        f"length(list_distinct({lines})) * 1.0 / {n_lines}, 6) ELSE 0.0 END"
+    )
+    toks = tokens_sql(text)
+    grams = (
+        # alias must avoid 't' -- tokens_sql's list_filter lambda binds t
+        f"(SELECT CASE WHEN length(tk) >= 2 THEN "
+        f"list_transform(range(1, length(tk)), i -> tk[i] || chr(31) || tk[i+1]) "
+        f"ELSE [] END FROM (SELECT {toks} AS tk) __tk)"
+    )
+    top = (
+        f"(SELECT CASE WHEN length(g) > 0 THEN round("
+        f"(SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(g) AS u(x) GROUP BY x) __c)"
+        f" * 1.0 / length(g), 6) ELSE 0.0 END FROM (SELECT {grams} AS g) __g)"
+    )
+    return {"dup_line_frac": f"CAST({dup} AS DOUBLE)", "top_bigram_frac": f"CAST({top} AS DOUBLE)"}
