@@ -759,6 +759,67 @@ Q_REASSIGN_SQL = """
 """
 
 
+def q_finalize(spark, sf_dir):
+    """P10 + steps 12-13 (p3_simplification.py:365-416) through the real
+    merge.finalize_edges: distributed dense re-index over
+    (__main_osmid, g_reversed) -- range partition + offsets, NOT a
+    single-task global window -- then u/v swap and geometry reversal on
+    reversed rows. Keys k%2==0 emit a UV+VU direction pair, odd keys UV
+    only; the oracle re-derives the dense ids with a row_number window
+    and the swap/reverse in closed form."""
+    from .plans import merge
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("k"))
+    k = F.col("k")
+
+    def link(rev: bool):
+        gl = F.array(
+            F.array(k.cast("double") * 1e-6, F.lit(0.0)),
+            F.array(k.cast("double") * 1e-6 + 0.001, F.lit(1e-5)),
+        )
+        return p.filter(F.lit(True) if not rev else (k % 2 == 0)).select(
+            k.alias("g_u"),
+            (k + 100000).alias("g_v"),
+            F.lit(rev).alias("g_reversed"),
+            gl.alias("g_geometry"),
+            gl.alias("g_geo_lin"),
+            gl.alias("g_geo_rea"),
+            k.alias("__main_osmid"),
+        )
+
+    out = merge.finalize_edges(link(False).unionByName(link(True)))
+    return out.select(
+        "g_id", "g_u", "g_v", "g_reversed",
+        F.round(F.element_at("g_geo_lin", 1)[0], 9).alias("lx0"),
+        F.round(F.element_at("g_geo_lin", 1)[1], 9).alias("ly0"),
+        F.round(F.element_at("g_geo_rea", -1)[0], 9).alias("rxl"),
+        F.round(F.element_at("g_geo_rea", -1)[1], 9).alias("ryl"),
+    ).orderBy("g_id")
+
+
+Q_FINALIZE_SQL = """
+  WITH rows_ AS (
+    SELECT p_partkey AS k, false AS g_rev FROM part
+    UNION ALL
+    SELECT p_partkey, true FROM part WHERE p_partkey % 2 = 0),
+  idx AS (
+    SELECT k, g_rev,
+           row_number() OVER (ORDER BY k, g_rev) - 1 AS g_id,
+           round(CAST(k AS DOUBLE) * 1e-6, 9) AS ax,
+           round(CAST(k AS DOUBLE) * 1e-6 + 0.001, 9) AS bx
+    FROM rows_)
+  SELECT g_id,
+         CASE WHEN g_rev THEN k + 100000 ELSE k END AS g_u,
+         CASE WHEN g_rev THEN k ELSE k + 100000 END AS g_v,
+         g_rev AS g_reversed,
+         CASE WHEN g_rev THEN bx ELSE ax END AS lx0,
+         CASE WHEN g_rev THEN CAST(1e-5 AS DOUBLE) ELSE 0.0 END AS ly0,
+         CASE WHEN g_rev THEN ax ELSE bx END AS rxl,
+         CASE WHEN g_rev THEN 0.0 ELSE CAST(1e-5 AS DOUBLE) END AS ryl
+  FROM idx ORDER BY g_id
+"""
+
+
 def q_merge_nodes(spark, sf_dir):
     """G6 mergeNodes (p3_functions.py:654-698 + Node :1412-1474) through
     the REAL grouped-map fold: per cluster, rep = (highway_rank desc,
@@ -2749,6 +2810,7 @@ QUERIES = {
     "q_split_in_buffers": (q_split_in_buffers, Q_SPLIT_IN_BUFFERS_SQL),
     "q_reassign": (q_reassign, Q_REASSIGN_SQL),
     "q_merge_nodes": (q_merge_nodes, Q_MERGE_NODES_SQL),
+    "q_finalize": (q_finalize, Q_FINALIZE_SQL),
     "q_width_join": (q_width_join, Q_WIDTH_JOIN_SQL),
     "q_buffer_radius": (q_buffer_radius, _q_buffer_radius_sql()),
     "q_simhash": (q_simhash, Q_SIMHASH_SQL),
