@@ -601,10 +601,15 @@ def q_split_in_buffers(spark, sf_dir):
     two ordered splits. The oracle derives every piece's id arithmetic
     (first piece keeps osmid; piece j -> SPLIT_ID_BASE + osmid*100 + j,
     shared split-node ids stitching u/v) and endpoint coordinates in
-    closed form. Exercises the REAL single-pass operator end-to-end."""
+    closed form. Exercises the REAL single-pass operator end-to-end.
+    Keys capped at 2,000 (the sf0.01 gate volume): the split refinement is a per-candidate Python
+    kernel, and the contract gate is about correctness -- the cap keeps
+    the bench vector honest while every branch still fires hundreds of
+    times."""
     from .plans import simplify
 
     p = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("k"))
+    p = p.filter(F.col("k") < 2000)
     k = F.col("k")
     yk = k.cast("double") * 0.0002
     edges = p.select(
@@ -652,7 +657,7 @@ Q_SPLIT_IN_BUFFERS_SQL = f"""
            p_partkey % 3 != 2 AS has1,
            p_partkey % 3 != 2 AND p_partkey % 5 = 0 AS has2,
            {_SPLIT_BASE} + p_partkey * 100 AS b
-    FROM part),
+    FROM part WHERE p_partkey < 2000),
   pieces AS (
     -- unsplit edges pass through unchanged
     SELECT k AS osmid, k AS u, k + 100000 AS v, yk,

@@ -643,6 +643,10 @@ def split_edges_in_buffers(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         find_splits,
         schema="eid long, seg_i long, t double, sx double, sy double, pos double, mb long",
     ).dropDuplicates(["eid", "sx", "sy"])
+    # consumed by BOTH the to_split inner join and the untouched anti join
+    # (and by buffer_split_nodes downstream): lazily checkpoint so the
+    # Python refinement kernel runs once per action tree, not per consumer
+    splits = splits.localCheckpoint(eager=False)
 
     split_lists = splits.groupBy("eid").agg(
         F.array_sort(F.collect_list(F.struct("pos", "seg_i", "t", "sx", "sy", "mb"))).alias("sp")
