@@ -697,6 +697,7 @@ def q_reassign(spark, sf_dir):
     from .plans import simplify
 
     p = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("k"))
+    p = p.filter(F.col("k") < 2000)  # gate volume (see q_split_in_buffers)
     k = F.col("k")
     yk = k.cast("double") * 0.0002
     edges = p.select(
@@ -741,7 +742,7 @@ Q_REASSIGN_SQL = """
            (p_partkey % 2 = 0 OR p_partkey % 7 = 0) AS um,
            (p_partkey % 3 = 0 OR p_partkey % 7 = 0) AS vm,
            p_partkey % 7 = 0 AS crossed
-    FROM part),
+    FROM part WHERE p_partkey < 2000),
   c AS (
     SELECT k, um, vm, crossed,
            CASE WHEN NOT um THEN CAST(0.0 AS DOUBLE)
