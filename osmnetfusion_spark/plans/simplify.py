@@ -577,9 +577,65 @@ def split_edges_in_buffers(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     )
     cand = hit.join(eg.withColumnRenamed("osmid", "eid"), "eid").join(clusters, "merged_by")
 
+    def _fast_2pt(pdf: pd.DataFrame) -> list[dict]:
+        """Vectorized refinement for single-segment edges (the common
+        case after split_curves): all candidate rows at once, ragged
+        member-disk lists flattened with a row-index gather. Element
+        arithmetic is IDENTICAL to the per-row loop below -- same
+        kernels, same comparison order -- so results are bit-equal
+        (pinned by the q_split_in_buffers contract, whose field is all
+        2-point edges, plus golden/parity over mixed geometries)."""
+        n = len(pdf)
+        g = pdf["geometry"].to_numpy()
+        ax = np.array([r[0][0] for r in g]); ay = np.array([r[0][1] for r in g])
+        bx = np.array([r[1][0] for r in g]); by = np.array([r[1][1] for r in g])
+        ring = (ax == bx) & (ay == by)
+        counts = np.array([len(d) for d in pdf["disks"]])
+        ridx = np.repeat(np.arange(n), counts)
+        dx = np.array([d["x"] for ds in pdf["disks"] for d in ds])
+        dy = np.array([d["y"] for ds in pdf["disks"] for d in ds])
+        dr = np.array([d["buf_r"] for ds in pdf["disks"] for d in ds])
+        # endpoint-inside-any-disk reject (reference :538)
+        in0 = geo.haversine_np(ay[ridx], ax[ridx], dy, dx) <= dr
+        in1 = geo.haversine_np(by[ridx], bx[ridx], dy, dx) <= dr
+        bad = np.zeros(n, dtype=bool)
+        np.logical_or.at(bad, ridx, in0 | in1)
+        # segment-intersects-any-disk requirement
+        dseg = geo.point_segment_dist_np(dy, dx, ay[ridx], ax[ridx], by[ridx], bx[ridx])
+        hit = np.zeros(n, dtype=bool)
+        np.logical_or.at(hit, ridx, dseg <= dr)
+        # nearest segment point to the cluster centroid
+        px = pdf["ccx"].to_numpy(dtype=float); py = pdf["ccy"].to_numpy(dtype=float)
+        kx = np.cos(np.radians(py)) * geo.M_PER_DEG
+        ky = geo.M_PER_DEG
+        apx, apy = (px - ax) * kx, (py - ay) * ky
+        abx, aby = (bx - ax) * kx, (by - ay) * ky
+        ab2 = abx * abx + aby * aby
+        t = np.where(ab2 > 0, (apx * abx + apy * aby) / np.where(ab2 > 0, ab2, 1), 0.0)
+        t = np.clip(t, 0.0, 1.0)
+        sx, sy = ax + t * (bx - ax), ay + t * (by - ay)
+        at_end = ((np.abs(sx - ax) < 1e-12) & (np.abs(sy - ay) < 1e-12)) | (
+            (np.abs(sx - bx) < 1e-12) & (np.abs(sy - by) < 1e-12)
+        )
+        ok = ~ring & ~bad & hit & ~at_end
+        seg_len = geo.haversine_np(ay, ax, by, bx)
+        pos = t * seg_len
+        eids = pdf["eid"].to_numpy()
+        mbs = pdf["merged_by"].to_numpy()
+        return [
+            {"eid": int(eids[i]), "seg_i": 0, "t": float(t[i]),
+             "sx": float(sx[i]), "sy": float(sy[i]), "pos": float(pos[i]),
+             "mb": int(mbs[i])}
+            for i in np.flatnonzero(ok)
+        ]
+
     def find_splits(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
+            two_pt = pdf["geometry"].map(len) == 2
+            if two_pt.any():
+                rows.extend(_fast_2pt(pdf[two_pt]))
+            pdf = pdf[~two_pt]
             for _, r in pdf.iterrows():
                 coords = np.array([list(c) for c in r["geometry"]], dtype=float)
                 if (coords[0] == coords[-1]).all():
