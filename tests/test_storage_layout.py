@@ -77,3 +77,49 @@ def test_partitioned_read_prunes(spark, tmp_path):
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "tile" in pf.group(1), plan
     assert got.count() == 10_000 // 16
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join evidence: a join where one key holds ~40% of the
+    left side gets its oversized partitions SPLIT at runtime (the
+    adaptive final plan marks the shuffle read 'skew'). This is the
+    runtime complement to the write-time layouts above and to the
+    explicit salting operator (operators/skew.py)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 5 < 2, F.lit(7)).otherwise(F.col("id") % 997).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 997).select(F.col("id").alias("k"), F.col("id").alias("dim"))
+        # aggregate on an UNRELATED key: grouping by k would reuse the
+        # join's hash distribution and AQE must then suppress the split
+        joined = (
+            left.join(right, "k")
+            .groupBy(F.length("pad").alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # collect() executes THIS Dataset's own query execution (count()
+        # would plan a separate one and leave this plan un-finalized)
+        assert len(joined.collect()) > 0
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew" in final_plan.lower(), final_plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
