@@ -56,3 +56,49 @@ def test_raw_hash_catches_hugeint_float_rendering():
     assert value_hash([(float("nan"),)], cols, cell=raw_cell) == value_hash(
         [(float("nan"),)], cols, cell=raw_cell
     )
+
+
+def test_driver_window_rotation():
+    """Every contract query with no prior driver-green round must sit inside
+    the driver's sampling window (first 50 dict entries); queries rotated
+    past position 50 must have >=2 prior green rounds.
+
+    Round-3 verdict finding: the round driver's correctness gate checks
+    exactly ``list(queries())[:50]``, so with a >50-entry vector the dict
+    ORDER decides driver visibility.  This test derives prior coverage from
+    the committed CORRECTNESS_r*.json records, so it automatically re-fires
+    each round as new records land and new queries are added.
+    """
+    import glob
+    import json
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import queries
+
+    keys = list(queries())
+    green_rounds = {}  # name -> number of rounds with a fully green row
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rec = json.load(open(path))
+        for name, row in rec.items():
+            ok = bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False  # rows-only checks
+                and not row.get("err")
+            )
+            if ok:
+                green_rounds[name] = green_rounds.get(name, 0) + 1
+
+    window = set(keys[:50])
+    uncovered_outside = [
+        k for k in keys if green_rounds.get(k, 0) == 0 and k not in window
+    ]
+    assert uncovered_outside == [], (
+        "queries with zero prior driver coverage are outside the driver's "
+        f"50-entry window: {uncovered_outside}"
+    )
+    weak_tail = [k for k in keys[50:] if green_rounds.get(k, 0) < 2]
+    assert weak_tail == [], (
+        "queries rotated past position 50 without >=2 prior driver-green "
+        f"rounds: {weak_tail}"
+    )
