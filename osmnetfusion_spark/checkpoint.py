@@ -81,7 +81,11 @@ class Snapshotter:
         self.manifest = self._load_manifest()
         if config is not None:
             prev = self.manifest.get("config")
-            if prev is not None and prev != config and self.manifest["stages"]:
+            # A pre-config-era warehouse (no recorded config) with committed
+            # stages is just as stale-prone as an explicit mismatch: we
+            # cannot prove its snapshots match this run, so it takes the
+            # same warn-and-rebuild path unless --resume opts in.
+            if prev != config and self.manifest["stages"]:
                 if reuse_mismatched:
                     print(
                         f"WARNING: reusing warehouse {warehouse} with "

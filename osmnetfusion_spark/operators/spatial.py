@@ -85,8 +85,10 @@ def fan_out_probe(df: DataFrame, key: str) -> DataFrame:
 BROADCAST_GUARD_BYTES = 256 << 20
 
 
-def _input_bytes(df: DataFrame) -> int | None:
-    """Source-file bytes feeding a DataFrame (None if not a file scan).
+def _input_bytes(df: DataFrame) -> int | float | None:
+    """Source-file bytes feeding a DataFrame (None if not a file scan;
+    ``float('inf')`` if a source file cannot be sized locally — which
+    includes every non-local URI such as s3a:// or hdfs://).
 
     File-metadata only -- never touches ``df.rdd`` (under AQE that
     finalizes the plan and runs hidden jobs, see :func:`fan_out_probe`).
@@ -124,7 +126,9 @@ def _maybe_broadcast(df: DataFrame, want: bool) -> DataFrame:
     simplified network). A caller accidentally passing a planet-scale
     network must not OOM every executor: if the source files exceed
     BROADCAST_GUARD_BYTES the hint is dropped and AQE picks the join
-    strategy from runtime sizes instead.
+    strategy from runtime sizes instead. Remote (non-file://) build sides
+    can never be sized locally, so they NEVER get the explicit hint —
+    fail-safe: AQE still broadcasts them at runtime if they turn out small.
     """
     if not want:
         return df

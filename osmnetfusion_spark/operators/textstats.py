@@ -13,7 +13,7 @@ be checked value-for-value.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 POLY_MOD = 1_000_000_007
@@ -174,8 +174,8 @@ def quality_features_sql(text: str) -> dict[str, str]:
 
 
 def vocab_topk(
-    docs, k: int = 100, text_col: str = "text", doc_id: str = "doc_id"
-):
+    docs: DataFrame, k: int = 100, text_col: str = "text", doc_id: str = "doc_id"
+) -> DataFrame:
     """Corpus vocabulary head: top-k tokens by total occurrences, with
     document frequency (tokenizer-training / stopword-derivation shape).
 
@@ -187,7 +187,6 @@ def vocab_topk(
     (count desc, token asc) -- an explicit total order, so ties are
     deterministic -- and limits driver-side rows to k.
     """
-    from pyspark.sql import DataFrame  # noqa: F401  (signature docs)
 
     tok = docs.select(
         F.col(doc_id).alias("__did"),

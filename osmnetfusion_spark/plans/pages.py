@@ -54,14 +54,14 @@ def canonical_url(url) -> "F.Column":
     path = F.when(path == "", F.lit("/")).otherwise(path)
 
     parts = F.split(F.coalesce(qs, F.lit("")), "&")
-    keep = F.filter(
-        parts,
-        lambda p: (p != "")
-        & ~p.startswith("utm_")
-        & ~p.startswith("fbclid=")
-        & ~p.startswith("gclid=")
-        & ~p.startswith("ref="),
-    )
+
+    def _not_tracking(p):
+        pred = p != ""
+        for t in TRACKING_PARAMS:
+            pred = pred & ~p.startswith(t)
+        return pred
+
+    keep = F.filter(parts, _not_tracking)
     query = F.array_join(F.array_sort(keep), "&")
     return F.concat(
         scheme,

@@ -376,7 +376,13 @@ def pt_stops_from_relations(
     n_geo = (
         m.filter(F.col("mtype") == "n")
         .join(pt, F.col("member_ref") == F.col("node_id"), "left")
-        .withColumn("geometry", F.array(F.col("coord")))
+        # an unresolved node ref must yield NULL geometry (same convention
+        # as unresolved way members), not a 1-element [NULL] array that
+        # geometry.isNotNull() filters would let through
+        .withColumn(
+            "geometry",
+            F.when(F.col("coord").isNotNull(), F.array(F.col("coord"))),
+        )
         .drop("node_id", "coord")
     )
 
