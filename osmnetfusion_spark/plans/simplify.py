@@ -509,6 +509,209 @@ def cluster_nodes(
 # ------------------------------------------------------------------ step 6
 
 
+def _split_fast_2pt(pdf: pd.DataFrame) -> list[dict]:
+    """Vectorized refinement for single-segment edges (the common
+    case after split_curves): all candidate rows at once, ragged
+    member-disk lists flattened with a row-index gather. Element
+    arithmetic is IDENTICAL to the per-row loop below -- same
+    kernels, same comparison order -- so results are bit-equal
+    (pinned by the q_split_in_buffers contract, whose field is all
+    2-point edges, plus golden/parity over mixed geometries)."""
+    n = len(pdf)
+    g = pdf["geometry"].to_numpy()
+    ax = np.array([r[0][0] for r in g]); ay = np.array([r[0][1] for r in g])
+    bx = np.array([r[1][0] for r in g]); by = np.array([r[1][1] for r in g])
+    ring = (ax == bx) & (ay == by)
+    counts = np.array([len(d) for d in pdf["disks"]])
+    ridx = np.repeat(np.arange(n), counts)
+    dx = np.array([d["x"] for ds in pdf["disks"] for d in ds])
+    dy = np.array([d["y"] for ds in pdf["disks"] for d in ds])
+    dr = np.array([d["buf_r"] for ds in pdf["disks"] for d in ds])
+    # endpoint-inside-any-disk reject (reference :538)
+    in0 = geo.haversine_np(ay[ridx], ax[ridx], dy, dx) <= dr
+    in1 = geo.haversine_np(by[ridx], bx[ridx], dy, dx) <= dr
+    bad = np.zeros(n, dtype=bool)
+    np.logical_or.at(bad, ridx, in0 | in1)
+    # segment-intersects-any-disk requirement
+    dseg = geo.point_segment_dist_np(dy, dx, ay[ridx], ax[ridx], by[ridx], bx[ridx])
+    hit = np.zeros(n, dtype=bool)
+    np.logical_or.at(hit, ridx, dseg <= dr)
+    # nearest segment point to the cluster centroid
+    px = pdf["ccx"].to_numpy(dtype=float); py = pdf["ccy"].to_numpy(dtype=float)
+    kx = np.cos(np.radians(py)) * geo.M_PER_DEG
+    ky = geo.M_PER_DEG
+    apx, apy = (px - ax) * kx, (py - ay) * ky
+    abx, aby = (bx - ax) * kx, (by - ay) * ky
+    ab2 = abx * abx + aby * aby
+    t = np.where(ab2 > 0, (apx * abx + apy * aby) / np.where(ab2 > 0, ab2, 1), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    sx, sy = ax + t * (bx - ax), ay + t * (by - ay)
+    at_end = ((np.abs(sx - ax) < 1e-12) & (np.abs(sy - ay) < 1e-12)) | (
+        (np.abs(sx - bx) < 1e-12) & (np.abs(sy - by) < 1e-12)
+    )
+    ok = ~ring & ~bad & hit & ~at_end
+    seg_len = geo.haversine_np(ay, ax, by, bx)
+    pos = t * seg_len
+    eids = pdf["eid"].to_numpy()
+    mbs = pdf["merged_by"].to_numpy()
+    return [
+        {"eid": int(eids[i]), "seg_i": 0, "t": float(t[i]),
+         "sx": float(sx[i]), "sy": float(sy[i]), "pos": float(pos[i]),
+         "mb": int(mbs[i])}
+        for i in np.flatnonzero(ok)
+    ]
+
+
+def _split_rows_loop(pdf: pd.DataFrame) -> list[dict]:
+    """Per-row reference twin of :func:`_split_fast_multi` (the
+    pre-round-4 multi-point path, reference p3_functions.py:528-556).
+    Kept for the bit-equality parity test; not on the hot path."""
+    rows = []
+    for _, r in pdf.iterrows():
+        coords = np.array([list(c) for c in r["geometry"]], dtype=float)
+        if (coords[0] == coords[-1]).all():
+            continue  # linear ring (reference :534-536)
+        disks = np.array([[d["x"], d["y"], d["buf_r"]] for d in r["disks"]])
+        dd0 = geo.haversine_np(
+            np.full(len(disks), coords[0, 1]), np.full(len(disks), coords[0, 0]),
+            disks[:, 1], disks[:, 0],
+        )
+        dd1 = geo.haversine_np(
+            np.full(len(disks), coords[-1, 1]), np.full(len(disks), coords[-1, 0]),
+            disks[:, 1], disks[:, 0],
+        )
+        if (dd0 <= disks[:, 2]).any() or (dd1 <= disks[:, 2]).any():
+            continue  # an endpoint is inside the buffer (:538)
+        # does the edge intersect any member disk?
+        ax, ay = coords[:-1, 0], coords[:-1, 1]
+        bx, by = coords[1:, 0], coords[1:, 1]
+        hit = False
+        for dx, dy, dr in disks:
+            d = geo.point_segment_dist_np(
+                np.full(len(ax), dy), np.full(len(ax), dx), ay, ax, by, bx
+            )
+            if (d <= dr).any():
+                hit = True
+                break
+        if not hit:
+            continue
+        # nearest polyline point to the cluster centroid
+        px, py = float(r["ccx"]), float(r["ccy"])
+        kx = np.cos(np.radians(py)) * geo.M_PER_DEG
+        ky = geo.M_PER_DEG
+        apx, apy = (px - ax) * kx, (py - ay) * ky
+        abx, aby = (bx - ax) * kx, (by - ay) * ky
+        ab2 = abx * abx + aby * aby
+        t = np.where(ab2 > 0, (apx * abx + apy * aby) / np.where(ab2 > 0, ab2, 1), 0.0)
+        t = np.clip(t, 0.0, 1.0)
+        qx, qy = ax + t * (bx - ax), ay + t * (by - ay)
+        dist = np.sqrt((apx - t * abx) ** 2 + (apy - t * aby) ** 2)
+        si = int(np.argmin(dist))
+        sx, sy = float(qx[si]), float(qy[si])
+        if (abs(sx - coords[0, 0]) < 1e-12 and abs(sy - coords[0, 1]) < 1e-12) or (
+            abs(sx - coords[-1, 0]) < 1e-12 and abs(sy - coords[-1, 1]) < 1e-12
+        ):
+            continue  # nearest point is an endpoint (:540)
+        # position along the line for ordering multi-splits
+        seg_lens = geo.haversine_np(ay, ax, by, bx)
+        pos = float(np.sum(seg_lens[:si]) + t[si] * seg_lens[si])
+        rows.append({"eid": int(r["eid"]), "seg_i": si, "t": float(t[si]),
+                     "sx": sx, "sy": sy, "pos": pos, "mb": int(r["merged_by"])})
+    return rows
+
+
+def _split_fast_multi(pdf: pd.DataFrame) -> list[dict]:
+    """Vectorized refinement for multi-point polylines: the ragged
+    ``np.repeat`` row-index gather of :func:`_split_fast_2pt` extended to
+    two ragged axes (segments-per-edge and disks-per-cluster, crossed at
+    the pair level for the intersects-any-disk test). Element arithmetic,
+    comparison order, per-row first-argmin, and the prefix-sum shape of
+    ``pos`` are IDENTICAL to :func:`_split_rows_loop` -- the per-row
+    reference twin -- so results are bit-equal (pinned by
+    ``tests/test_plans.py::test_split_fast_multi_matches_loop`` plus the
+    golden/parity suites over mixed geometries)."""
+    n = len(pdf)
+    if n == 0:
+        return []
+    g = pdf["geometry"].to_numpy()
+    m = np.fromiter((len(c) for c in g), dtype=np.int64, count=n)
+    poff = np.concatenate(([0], np.cumsum(m)))
+    fx = np.fromiter((p[0] for c in g for p in c), dtype=np.float64, count=poff[-1])
+    fy = np.fromiter((p[1] for c in g for p in c), dtype=np.float64, count=poff[-1])
+    first, last = poff[:-1], poff[1:] - 1
+    ring = (fx[first] == fx[last]) & (fy[first] == fy[last])
+    # disks, flattened (reference :538 endpoint-inside reject)
+    dcnt = np.fromiter((len(d) for d in pdf["disks"]), dtype=np.int64, count=n)
+    doff = np.concatenate(([0], np.cumsum(dcnt)))
+    drid = np.repeat(np.arange(n), dcnt)
+    ddx = np.fromiter((d["x"] for ds in pdf["disks"] for d in ds), dtype=np.float64, count=doff[-1])
+    ddy = np.fromiter((d["y"] for ds in pdf["disks"] for d in ds), dtype=np.float64, count=doff[-1])
+    ddr = np.fromiter((d["buf_r"] for ds in pdf["disks"] for d in ds), dtype=np.float64, count=doff[-1])
+    in0 = geo.haversine_np(fy[first][drid], fx[first][drid], ddy, ddx) <= ddr
+    in1 = geo.haversine_np(fy[last][drid], fx[last][drid], ddy, ddx) <= ddr
+    bad = np.zeros(n, dtype=bool)
+    np.logical_or.at(bad, drid, in0 | in1)
+    # segments, flattened
+    S = m - 1
+    soff = np.concatenate(([0], np.cumsum(S)))
+    srid = np.repeat(np.arange(n), S)
+    spos = np.arange(soff[-1]) - np.repeat(soff[:-1], S)
+    aidx = np.repeat(first, S) + spos
+    sax, say = fx[aidx], fy[aidx]
+    sbx, sby = fx[aidx + 1], fy[aidx + 1]
+    # (segment x disk) pairs within each row: intersects-any-disk test
+    P = S * dcnt
+    pstart = np.concatenate(([0], np.cumsum(P)))
+    prid = np.repeat(np.arange(n), P)
+    ppos = np.arange(pstart[-1]) - np.repeat(pstart[:-1], P)
+    ps_i = ppos % np.maximum(S[prid], 1)
+    pd_i = ppos // np.maximum(S[prid], 1)
+    sidx = soff[:-1][prid] + ps_i
+    didx = doff[:-1][prid] + pd_i
+    dseg = geo.point_segment_dist_np(
+        ddy[didx], ddx[didx], say[sidx], sax[sidx], sby[sidx], sbx[sidx]
+    )
+    hit = np.zeros(n, dtype=bool)
+    np.logical_or.at(hit, prid, dseg <= ddr[didx])
+    # nearest polyline point to the cluster centroid (local-plane metric
+    # anchored at the centroid latitude, as in the loop)
+    px = pdf["ccx"].to_numpy(dtype=np.float64)[srid]
+    py = pdf["ccy"].to_numpy(dtype=np.float64)[srid]
+    kx = np.cos(np.radians(py)) * geo.M_PER_DEG
+    ky = geo.M_PER_DEG
+    apx, apy = (px - sax) * kx, (py - say) * ky
+    abx, aby = (sbx - sax) * kx, (sby - say) * ky
+    ab2 = abx * abx + aby * aby
+    t = np.where(ab2 > 0, (apx * abx + apy * aby) / np.where(ab2 > 0, ab2, 1), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    qx, qy = sax + t * (sbx - sax), say + t * (sby - say)
+    dist = np.sqrt((apx - t * abx) ** 2 + (apy - t * aby) ** 2)
+    # per-row FIRST index of the minimum (np.argmin semantics); every row
+    # here has >= 2 segments, so reduceat partitions the flat array exactly
+    rmin = np.minimum.reduceat(dist, soff[:-1])
+    cand = np.where(dist == rmin[srid], spos, soff[-1])
+    si = np.minimum.reduceat(cand, soff[:-1])
+    gsi = soff[:-1] + si
+    sx, sy = qx[gsi], qy[gsi]
+    at_end = (
+        (np.abs(sx - fx[first]) < 1e-12) & (np.abs(sy - fy[first]) < 1e-12)
+    ) | ((np.abs(sx - fx[last]) < 1e-12) & (np.abs(sy - fy[last]) < 1e-12))
+    ok = ~ring & ~bad & hit & ~at_end
+    seg_lens = geo.haversine_np(say, sax, sby, sbx)
+    eids = pdf["eid"].to_numpy()
+    mbs = pdf["merged_by"].to_numpy()
+    rows = []
+    for i in np.flatnonzero(ok):
+        a, s_i = int(soff[i]), int(si[i])
+        # np.sum over the same-length prefix slice reproduces the loop's
+        # accumulation order exactly
+        pos = float(np.sum(seg_lens[a : a + s_i]) + t[gsi[i]] * seg_lens[a + s_i])
+        rows.append({"eid": int(eids[i]), "seg_i": s_i, "t": float(t[gsi[i]]),
+                     "sx": float(sx[i]), "sy": float(sy[i]), "pos": pos,
+                     "mb": int(mbs[i])})
+    return rows
+
+
 def split_edges_in_buffers(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """Step 6 (p3_functions.py:486-578 + repair pass :1005-1072), single
     pass by design: collect ALL of an edge's split points, order them along
@@ -577,115 +780,15 @@ def split_edges_in_buffers(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     )
     cand = hit.join(eg.withColumnRenamed("osmid", "eid"), "eid").join(clusters, "merged_by")
 
-    def _fast_2pt(pdf: pd.DataFrame) -> list[dict]:
-        """Vectorized refinement for single-segment edges (the common
-        case after split_curves): all candidate rows at once, ragged
-        member-disk lists flattened with a row-index gather. Element
-        arithmetic is IDENTICAL to the per-row loop below -- same
-        kernels, same comparison order -- so results are bit-equal
-        (pinned by the q_split_in_buffers contract, whose field is all
-        2-point edges, plus golden/parity over mixed geometries)."""
-        n = len(pdf)
-        g = pdf["geometry"].to_numpy()
-        ax = np.array([r[0][0] for r in g]); ay = np.array([r[0][1] for r in g])
-        bx = np.array([r[1][0] for r in g]); by = np.array([r[1][1] for r in g])
-        ring = (ax == bx) & (ay == by)
-        counts = np.array([len(d) for d in pdf["disks"]])
-        ridx = np.repeat(np.arange(n), counts)
-        dx = np.array([d["x"] for ds in pdf["disks"] for d in ds])
-        dy = np.array([d["y"] for ds in pdf["disks"] for d in ds])
-        dr = np.array([d["buf_r"] for ds in pdf["disks"] for d in ds])
-        # endpoint-inside-any-disk reject (reference :538)
-        in0 = geo.haversine_np(ay[ridx], ax[ridx], dy, dx) <= dr
-        in1 = geo.haversine_np(by[ridx], bx[ridx], dy, dx) <= dr
-        bad = np.zeros(n, dtype=bool)
-        np.logical_or.at(bad, ridx, in0 | in1)
-        # segment-intersects-any-disk requirement
-        dseg = geo.point_segment_dist_np(dy, dx, ay[ridx], ax[ridx], by[ridx], bx[ridx])
-        hit = np.zeros(n, dtype=bool)
-        np.logical_or.at(hit, ridx, dseg <= dr)
-        # nearest segment point to the cluster centroid
-        px = pdf["ccx"].to_numpy(dtype=float); py = pdf["ccy"].to_numpy(dtype=float)
-        kx = np.cos(np.radians(py)) * geo.M_PER_DEG
-        ky = geo.M_PER_DEG
-        apx, apy = (px - ax) * kx, (py - ay) * ky
-        abx, aby = (bx - ax) * kx, (by - ay) * ky
-        ab2 = abx * abx + aby * aby
-        t = np.where(ab2 > 0, (apx * abx + apy * aby) / np.where(ab2 > 0, ab2, 1), 0.0)
-        t = np.clip(t, 0.0, 1.0)
-        sx, sy = ax + t * (bx - ax), ay + t * (by - ay)
-        at_end = ((np.abs(sx - ax) < 1e-12) & (np.abs(sy - ay) < 1e-12)) | (
-            (np.abs(sx - bx) < 1e-12) & (np.abs(sy - by) < 1e-12)
-        )
-        ok = ~ring & ~bad & hit & ~at_end
-        seg_len = geo.haversine_np(ay, ax, by, bx)
-        pos = t * seg_len
-        eids = pdf["eid"].to_numpy()
-        mbs = pdf["merged_by"].to_numpy()
-        return [
-            {"eid": int(eids[i]), "seg_i": 0, "t": float(t[i]),
-             "sx": float(sx[i]), "sy": float(sy[i]), "pos": float(pos[i]),
-             "mb": int(mbs[i])}
-            for i in np.flatnonzero(ok)
-        ]
-
     def find_splits(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             two_pt = pdf["geometry"].map(len) == 2
             if two_pt.any():
-                rows.extend(_fast_2pt(pdf[two_pt]))
-            pdf = pdf[~two_pt]
-            for _, r in pdf.iterrows():
-                coords = np.array([list(c) for c in r["geometry"]], dtype=float)
-                if (coords[0] == coords[-1]).all():
-                    continue  # linear ring (reference :534-536)
-                disks = np.array([[d["x"], d["y"], d["buf_r"]] for d in r["disks"]])
-                dd0 = geo.haversine_np(
-                    np.full(len(disks), coords[0, 1]), np.full(len(disks), coords[0, 0]),
-                    disks[:, 1], disks[:, 0],
-                )
-                dd1 = geo.haversine_np(
-                    np.full(len(disks), coords[-1, 1]), np.full(len(disks), coords[-1, 0]),
-                    disks[:, 1], disks[:, 0],
-                )
-                if (dd0 <= disks[:, 2]).any() or (dd1 <= disks[:, 2]).any():
-                    continue  # an endpoint is inside the buffer (:538)
-                # does the edge intersect any member disk?
-                ax, ay = coords[:-1, 0], coords[:-1, 1]
-                bx, by = coords[1:, 0], coords[1:, 1]
-                hit = False
-                for dx, dy, dr in disks:
-                    d = geo.point_segment_dist_np(
-                        np.full(len(ax), dy), np.full(len(ax), dx), ay, ax, by, bx
-                    )
-                    if (d <= dr).any():
-                        hit = True
-                        break
-                if not hit:
-                    continue
-                # nearest polyline point to the cluster centroid
-                px, py = float(r["ccx"]), float(r["ccy"])
-                kx = np.cos(np.radians(py)) * geo.M_PER_DEG
-                ky = geo.M_PER_DEG
-                apx, apy = (px - ax) * kx, (py - ay) * ky
-                abx, aby = (bx - ax) * kx, (by - ay) * ky
-                ab2 = abx * abx + aby * aby
-                t = np.where(ab2 > 0, (apx * abx + apy * aby) / np.where(ab2 > 0, ab2, 1), 0.0)
-                t = np.clip(t, 0.0, 1.0)
-                qx, qy = ax + t * (bx - ax), ay + t * (by - ay)
-                dist = np.sqrt((apx - t * abx) ** 2 + (apy - t * aby) ** 2)
-                si = int(np.argmin(dist))
-                sx, sy = float(qx[si]), float(qy[si])
-                if (abs(sx - coords[0, 0]) < 1e-12 and abs(sy - coords[0, 1]) < 1e-12) or (
-                    abs(sx - coords[-1, 0]) < 1e-12 and abs(sy - coords[-1, 1]) < 1e-12
-                ):
-                    continue  # nearest point is an endpoint (:540)
-                # position along the line for ordering multi-splits
-                seg_lens = geo.haversine_np(ay, ax, by, bx)
-                pos = float(np.sum(seg_lens[:si]) + t[si] * seg_lens[si])
-                rows.append({"eid": int(r["eid"]), "seg_i": si, "t": float(t[si]),
-                             "sx": sx, "sy": sy, "pos": pos, "mb": int(r["merged_by"])})
+                rows.extend(_split_fast_2pt(pdf[two_pt]))
+            multi = pdf[~two_pt]
+            if len(multi):
+                rows.extend(_split_fast_multi(multi))
             yield pd.DataFrame(
                 rows, columns=["eid", "seg_i", "t", "sx", "sy", "pos", "mb"]
             ) if rows else pd.DataFrame(
@@ -714,15 +817,29 @@ def split_edges_in_buffers(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     schema = edges.schema
 
     def apply_splits(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # The piece walk is inherently sequential per edge (ordered split
+        # points thread through the polyline), but it runs only over edges
+        # WITH splits; the expensive part was materializing one pandas
+        # Series copy per output piece. Instead: walk with plain arrays,
+        # then build the output in three columnar steps (row-repeat take +
+        # column assignment).
         for pdf in it:
-            out = []
-            for _, r in pdf.iterrows():
-                coords = [list(c) for c in r["geometry"]]
-                base = SPLIT_ID_BASE + int(r["osmid"]) * 100
+            if not len(pdf):
+                yield pdf.iloc[0:0][cols]
+                continue
+            geoms = pdf["geometry"].to_numpy()
+            sps = pdf["sp"].to_numpy()
+            osmids = pdf["osmid"].to_numpy()
+            u_in = pdf["u"].to_numpy()
+            v_in = pdf["v"].to_numpy()
+            idx, g_out, l_out, u_out, v_out, o_out = [], [], [], [], [], []
+            for i in range(len(pdf)):
+                coords = [list(c) for c in geoms[i]]
+                base = SPLIT_ID_BASE + int(osmids[i]) * 100
                 # build piece coordinate lists by walking split points in order
                 pieces = []
                 cur = [coords[0]]
-                spts = list(r["sp"])
+                spts = list(sps[i])
                 k = 0
                 for si in range(len(coords) - 1):
                     while k < len(spts) and int(spts[k]["seg_i"]) == si:
@@ -739,21 +856,36 @@ def split_edges_in_buffers(edges: DataFrame, nodes: DataFrame) -> DataFrame:
                     pieces.append(cur)
                 pieces = [p for p in pieces if len(p) >= 2]
                 if len(pieces) <= 1:
-                    out.append(r[cols])
+                    idx.append(i)
+                    g_out.append(geoms[i])
+                    l_out.append(float(pdf["length"].iat[i]))
+                    u_out.append(int(u_in[i]))
+                    v_out.append(int(v_in[i]))
+                    o_out.append(int(osmids[i]))
                     continue
                 node_id = base
                 for j, pc in enumerate(pieces):
-                    sub = r[cols].copy()
-                    sub["geometry"] = pc
-                    sub["length"] = geo.polyline_length_m(np.array(pc))
+                    idx.append(i)
+                    g_out.append(pc)
+                    l_out.append(geo.polyline_length_m(np.array(pc)))
                     if j > 0:
-                        sub["u"] = node_id
-                        sub["osmid"] = base + j
+                        u_out.append(node_id)
+                        o_out.append(base + j)
                         node_id += 1
-                    if j < len(pieces) - 1:
-                        sub["v"] = node_id
-                    out.append(sub)
-            yield pd.DataFrame(out, columns=cols) if out else pdf.iloc[0:0][cols]
+                    else:
+                        u_out.append(int(u_in[i]))
+                        o_out.append(int(osmids[i]))
+                    v_out.append(node_id if j < len(pieces) - 1 else int(v_in[i]))
+            if not idx:
+                yield pdf.iloc[0:0][cols]
+                continue
+            out = pdf.iloc[idx][cols].reset_index(drop=True)
+            out["geometry"] = pd.Series(g_out, dtype=object)
+            out["length"] = l_out
+            out["u"] = u_out
+            out["v"] = v_out
+            out["osmid"] = o_out
+            yield out
 
     out_edges = untouched.unionByName(to_split.mapInPandas(apply_splits, schema=schema))
     return out_edges, split_lists
@@ -829,34 +961,136 @@ def reassign_nodes(edges: DataFrame, nodes: DataFrame) -> DataFrame:
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            lin, rea, lens = [], [], []
-            for _, r in pdf.iterrows():
-                coords = [list(c) for c in r["geometry"]]
-                u_pt = [float(r["u_cx"]), float(r["u_cy"])]
-                v_pt = [float(r["v_cx"]), float(r["v_cy"])]
-                # trim rule (reference :607-617, faithful elif order)
-                if r["u"] == r["new_u"]:
-                    mid = coords[1:]
-                elif r["v"] == r["new_v"]:
-                    mid = coords[:-1]
-                else:
-                    mid = coords[:]
-                if mid:
-                    m = np.array(mid, dtype=float)
-                    du = geo.haversine_np(m[:, 1], m[:, 0], np.full(len(m), u_pt[1]), np.full(len(m), u_pt[0]))
-                    dv = geo.haversine_np(m[:, 1], m[:, 0], np.full(len(m), v_pt[1]), np.full(len(m), v_pt[0]))
-                    i1, i2 = int(np.argmin(du)), int(np.argmin(dv))
-                    mid = mid[i1 : i2 + 1]
-                fwd = [u_pt] + mid + [v_pt]
-                rev = [u_pt] + list(reversed(mid)) + [v_pt]
-                lf = geo.polyline_length_m(np.array(fwd))
-                lr = geo.polyline_length_m(np.array(rev))
-                chosen = fwd if lf < lr else rev
-                lin.append([u_pt, v_pt])
-                rea.append(chosen)
-                lens.append(geo.polyline_length_m(np.array([u_pt, v_pt])))
+            lin, rea, lens = _reassign_batch(pdf)
             pdf = pdf.assign(geom_linear=lin, geom_reassigned=rea)
             pdf["length"] = lens
             yield pdf[keep + ["geom_linear", "geom_reassigned"]]
 
     return e.mapInPandas(run, schema=schema)
+
+
+def _reassign_batch(pdf: pd.DataFrame) -> tuple[list, list, list]:
+    """Batch kernel for step 8 (all rows at once, ragged polylines
+    flattened with the same ``np.repeat`` row-index gather as
+    ``_fast_2pt``). Element arithmetic, comparison order, and per-row
+    summation shape are IDENTICAL to :func:`_reassign_batch_loop` -- the
+    per-row reference twin -- so outputs are bit-equal (pinned by
+    ``tests/test_plans.py::test_reassign_batch_matches_loop`` and the
+    q_reassign contract)."""
+    n = len(pdf)
+    if n == 0:
+        return [], [], []
+    g = pdf["geometry"].to_numpy()
+    m = np.fromiter((len(c) for c in g), dtype=np.int64, count=n)
+    off = np.concatenate(([0], np.cumsum(m)))
+    fx = np.fromiter((p[0] for c in g for p in c), dtype=np.float64, count=off[-1])
+    fy = np.fromiter((p[1] for c in g for p in c), dtype=np.float64, count=off[-1])
+    u_px = pdf["u_cx"].to_numpy(dtype=np.float64)
+    u_py = pdf["u_cy"].to_numpy(dtype=np.float64)
+    v_px = pdf["v_cx"].to_numpy(dtype=np.float64)
+    v_py = pdf["v_cy"].to_numpy(dtype=np.float64)
+    # trim rule (reference :607-617, faithful elif order)
+    case_a = (pdf["u"].to_numpy() == pdf["new_u"].to_numpy())
+    case_b = ~case_a & (pdf["v"].to_numpy() == pdf["new_v"].to_numpy())
+    s = off[:-1] + np.where(case_a, 1, 0)
+    e_ = off[1:] - np.where(case_b, 1, 0)
+    L = np.maximum(e_ - s, 0)
+    tot = int(L.sum())
+    rstart = np.concatenate(([0], np.cumsum(L)))[:-1]
+    s2 = s.copy()
+    e2 = s.copy()  # default empty mid (the loop's `if mid:` skip)
+    if tot:
+        mrid = np.repeat(np.arange(n), L)
+        pos = np.arange(tot) - np.repeat(rstart, L)
+        fidx = np.repeat(s, L) + pos
+        mx, my = fx[fidx], fy[fidx]
+        du = geo.haversine_np(my, mx, u_py[mrid], u_px[mrid])
+        dv = geo.haversine_np(my, mx, v_py[mrid], v_px[mrid])
+        nz = L > 0
+        # per-row FIRST index of the minimum (np.argmin semantics): rows
+        # with L==0 hold no flat elements, so reduceat over nz rows'
+        # start offsets partitions the flat array exactly by row
+        i1 = np.zeros(n, dtype=np.int64)
+        i2 = np.zeros(n, dtype=np.int64)
+        for dist, out in ((du, i1), (dv, i2)):
+            rmin = np.empty(n)
+            rmin[nz] = np.minimum.reduceat(dist, rstart[nz])
+            cand = np.where(dist == rmin[mrid], pos, tot)
+            out[nz] = np.minimum.reduceat(cand, rstart[nz])
+        s2 = np.where(L > 0, s + i1, s)
+        e2 = np.where(L > 0, s + i2 + 1, s)
+    L2 = np.maximum(e2 - s2, 0)
+    # assemble fwd = [u'] + mid + [v'] and rev = [u'] + reversed(mid) + [v']
+    rows2 = L2 + 2
+    tot2 = int(rows2.sum())
+    frid = np.repeat(np.arange(n), rows2)
+    f2start = np.concatenate(([0], np.cumsum(rows2)))
+    fpos = np.arange(tot2) - np.repeat(f2start[:-1], rows2)
+    is_u = fpos == 0
+    is_v = fpos == (rows2 - 1)[frid]
+    safe = np.clip(s2[frid] + fpos - 1, 0, max(len(fx) - 1, 0))
+    safe_r = np.clip(s2[frid] + L2[frid] - fpos, 0, max(len(fx) - 1, 0))
+    fwdx = np.where(is_u, u_px[frid], np.where(is_v, v_px[frid], fx[safe]))
+    fwdy = np.where(is_u, u_py[frid], np.where(is_v, v_py[frid], fy[safe]))
+    revx = np.where(is_u, u_px[frid], np.where(is_v, v_px[frid], fx[safe_r]))
+    revy = np.where(is_u, u_py[frid], np.where(is_v, v_py[frid], fy[safe_r]))
+    # consecutive-pair haversines within each row's slice (same kernel,
+    # same element values as polyline_length_m's internal call)
+    pair = frid[1:] == frid[:-1]
+    seg_f = np.zeros(tot2 - 1 if tot2 else 0)
+    seg_r = np.zeros(tot2 - 1 if tot2 else 0)
+    if tot2 > 1:
+        seg_f[pair] = geo.haversine_np(
+            fwdy[:-1][pair], fwdx[:-1][pair], fwdy[1:][pair], fwdx[1:][pair]
+        )
+        seg_r[pair] = geo.haversine_np(
+            revy[:-1][pair], revx[:-1][pair], revy[1:][pair], revx[1:][pair]
+        )
+    lens_all = geo.haversine_np(u_py, u_px, v_py, v_px)
+    fwd_pts = np.stack([fwdx, fwdy], axis=1)
+    rev_pts = np.stack([revx, revy], axis=1)
+    lin, rea, lens = [], [], []
+    for i in range(n):
+        a, b = int(f2start[i]), int(f2start[i + 1])
+        # np.sum over a same-length slice reproduces polyline_length_m's
+        # accumulation order exactly (pairwise summation depends only on
+        # element count)
+        lf = float(np.sum(seg_f[a : b - 1]))
+        lr = float(np.sum(seg_r[a : b - 1]))
+        chosen = fwd_pts[a:b] if lf < lr else rev_pts[a:b]
+        lin.append([[u_px[i], u_py[i]], [v_px[i], v_py[i]]])
+        rea.append(chosen.tolist())
+        lens.append(float(lens_all[i]))
+    return lin, rea, lens
+
+
+def _reassign_batch_loop(pdf: pd.DataFrame) -> tuple[list, list, list]:
+    """Per-row reference twin of :func:`_reassign_batch` (the pre-round-4
+    implementation, reference p3_functions.py:580-652). Kept for the
+    bit-equality parity test; not on the hot path."""
+    lin, rea, lens = [], [], []
+    for _, r in pdf.iterrows():
+        coords = [list(c) for c in r["geometry"]]
+        u_pt = [float(r["u_cx"]), float(r["u_cy"])]
+        v_pt = [float(r["v_cx"]), float(r["v_cy"])]
+        if r["u"] == r["new_u"]:
+            mid = coords[1:]
+        elif r["v"] == r["new_v"]:
+            mid = coords[:-1]
+        else:
+            mid = coords[:]
+        if mid:
+            mm = np.array(mid, dtype=float)
+            du = geo.haversine_np(mm[:, 1], mm[:, 0], np.full(len(mm), u_pt[1]), np.full(len(mm), u_pt[0]))
+            dv = geo.haversine_np(mm[:, 1], mm[:, 0], np.full(len(mm), v_pt[1]), np.full(len(mm), v_pt[0]))
+            i1, i2 = int(np.argmin(du)), int(np.argmin(dv))
+            mid = mid[i1 : i2 + 1]
+        fwd = [u_pt] + mid + [v_pt]
+        rev = [u_pt] + list(reversed(mid)) + [v_pt]
+        lf = geo.polyline_length_m(np.array(fwd))
+        lr = geo.polyline_length_m(np.array(rev))
+        chosen = fwd if lf < lr else rev
+        lin.append([u_pt, v_pt])
+        rea.append(chosen)
+        lens.append(geo.polyline_length_m(np.array([u_pt, v_pt])))
+    return lin, rea, lens

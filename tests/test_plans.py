@@ -218,3 +218,109 @@ def test_merge_nodes_is_grouped_map(spark):
     plan = _plan(spark, "q_merge_nodes")
     assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_reassign_batch_matches_loop():
+    """The vectorized step-8 kernel must be bit-equal to its per-row
+    reference twin across every trim branch, polyline shape, and the
+    empty-mid (i1 > i2) slice."""
+    import numpy as np
+    import pandas as pd
+
+    from osmnetfusion_spark.plans.simplify import (
+        _reassign_batch,
+        _reassign_batch_loop,
+    )
+
+    rng = np.random.RandomState(42)
+    rows = []
+    for i in range(400):
+        npts = int(rng.randint(2, 9))
+        base_x = 11.5 + rng.rand() * 0.2
+        base_y = 48.1 + rng.rand() * 0.2
+        geom = [
+            [base_x + rng.randn() * 1e-3, base_y + rng.randn() * 1e-3]
+            for _ in range(npts)
+        ]
+        u, v = 1000 + i, 2000 + i
+        branch = i % 4
+        new_u = u if branch in (0, 3) else 9000 + i      # A keeps u
+        new_v = v if branch in (1, 3) else 9500 + i      # B keeps v
+        # cluster centroid (or endpoint coords when unmerged)
+        u_c = geom[0] if new_u == u else [base_x + rng.randn() * 1e-3,
+                                          base_y + rng.randn() * 1e-3]
+        v_c = geom[-1] if new_v == v else [base_x + rng.randn() * 1e-3,
+                                           base_y + rng.randn() * 1e-3]
+        rows.append(
+            dict(geometry=geom, u=u, v=v, new_u=new_u, new_v=new_v,
+                 u_cx=u_c[0], u_cy=u_c[1], v_cx=v_c[0], v_cy=v_c[1])
+        )
+    pdf = pd.DataFrame(rows)
+    lin_v, rea_v, len_v = _reassign_batch(pdf)
+    lin_l, rea_l, len_l = _reassign_batch_loop(pdf)
+    assert lin_v == lin_l
+    assert rea_v == rea_l          # bit-equal floats, list == is exact
+    assert len_v == len_l
+    # the vector must contain empty-after-trim and multi-point cases
+    n_short = sum(1 for r in rea_v if len(r) == 2)
+    n_long = sum(1 for r in rea_v if len(r) > 3)
+    assert n_short > 0 and n_long > 0
+
+
+def test_reassign_batch_empty():
+    import pandas as pd
+
+    from osmnetfusion_spark.plans.simplify import _reassign_batch
+
+    pdf = pd.DataFrame(
+        columns=["geometry", "u", "v", "new_u", "new_v",
+                 "u_cx", "u_cy", "v_cx", "v_cy"]
+    )
+    assert _reassign_batch(pdf) == ([], [], [])
+
+
+def test_split_fast_multi_matches_loop():
+    """The vectorized multi-point split refinement must be bit-equal to
+    its per-row reference twin across rings, endpoint-inside rejects,
+    no-hit rejects, at-end rejects, and accepted multi-split geometries."""
+    import numpy as np
+    import pandas as pd
+
+    from osmnetfusion_spark.plans.simplify import (
+        _split_fast_multi,
+        _split_rows_loop,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(300):
+        npts = int(rng.randint(3, 9))
+        bx, by = 11.5 + rng.rand() * 0.1, 48.1 + rng.rand() * 0.1
+        geom = [[bx + j * 1e-3 + rng.randn() * 1e-4,
+                 by + rng.randn() * 1e-4] for j in range(npts)]
+        if i % 7 == 0:
+            geom[-1] = list(geom[0])  # linear ring
+        nd = int(rng.randint(1, 5))
+        disks = []
+        for _ in range(nd):
+            # mix of disks near the middle (hits), near endpoints
+            # (endpoint-inside rejects), and far away (no-hit rejects)
+            mode = rng.randint(3)
+            if mode == 0:
+                cx, cy = geom[npts // 2]
+            elif mode == 1:
+                cx, cy = geom[0]
+            else:
+                cx, cy = bx + 0.05, by + 0.05
+            disks.append({"x": cx + rng.randn() * 2e-4,
+                          "y": cy + rng.randn() * 2e-4,
+                          "buf_r": float(rng.uniform(5, 40))})
+        rows.append(dict(
+            eid=i, merged_by=10_000 + i, geometry=geom, disks=disks,
+            ccx=bx + rng.randn() * 1e-3, ccy=by + rng.randn() * 1e-3,
+        ))
+    pdf = pd.DataFrame(rows)
+    got = _split_fast_multi(pdf)
+    want = _split_rows_loop(pdf)
+    assert got == want          # same dicts, same order, bit-equal floats
+    assert 10 < len(got) < 300  # accepts AND rejects both exercised
