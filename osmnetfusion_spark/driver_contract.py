@@ -1299,6 +1299,110 @@ Q_ANN_TOPK_SQL = f"""
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN: codebook = vectors with vec_id < 16,
+    queries = vec_id in [16, 26). Corpus assignment is a scan-local
+    projection against the literal codebook (no shuffle); each query
+    probes its 2 nearest centroids via a broadcast bucket join. The
+    oracle re-derives assignment and probing with window functions over
+    an explicit cross join, sharing only the cosine formula string."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 16)
+    q = e.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 26))
+    return similarity.ivf_topk(e, q, cents, k=5, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
+_COS_CA = similarity.cosine_sql(
+    "list_transform(c.embedding, x -> CAST(x AS DOUBLE))",
+    "list_transform(t.embedding, x -> CAST(x AS DOUBLE))",
+)
+_COS_QC = similarity.cosine_sql(
+    "list_transform(q.qv, x -> CAST(x AS DOUBLE))",
+    "list_transform(a.embedding, x -> CAST(x AS DOUBLE))",
+)
+Q_ANN_IVF_SQL = f"""
+  WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
+  assign AS (
+    SELECT vec_id, cid FROM (
+      SELECT c.vec_id, t.cid,
+             row_number() OVER (PARTITION BY c.vec_id
+                                ORDER BY round({_COS_CA}, 6) DESC, t.cid ASC) AS rn
+      FROM embeddings c CROSS JOIN (SELECT cid, embedding AS embedding FROM cents) t(cid, embedding)) __a
+    WHERE rn = 1),
+  probes AS (
+    SELECT vec_id AS query_id, qv, cid FROM (
+      SELECT c.vec_id, c.embedding AS qv, t.cid,
+             row_number() OVER (PARTITION BY c.vec_id
+                                ORDER BY round({_COS_CA}, 6) DESC, t.cid ASC) AS rn
+      FROM embeddings c CROSS JOIN (SELECT cid, embedding FROM cents) t(cid, embedding)
+      WHERE c.vec_id >= 16 AND c.vec_id < 26) __p
+    WHERE rn <= 2)
+  SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+    SELECT q.query_id, a.vec_id AS neighbor_id,
+           round({_COS_QC}, 6) AS cos_sim,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({_COS_QC}, 6) DESC, a.vec_id ASC) AS rank
+    FROM probes q
+    JOIN assign s ON s.cid = q.cid
+    JOIN embeddings a ON a.vec_id = s.vec_id
+    WHERE a.vec_id != q.query_id) __t
+  WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_extract_text(spark, sf_dir):
+    """Byte-identity invariant of the pages path (BASELINE.json
+    input_hint): deterministic html built around documents.text, pushed
+    through plans.pages.extract_text (Arrow-batched tag strip +
+    whitespace collapse + UTF-8 decode). The oracle re-derives the
+    extraction with RE2 regexes over the same construction and hashes it
+    with sha256, so the extracted string AND its digest must both match
+    per document."""
+    from .plans import pages as PG
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pg = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.encode(
+            F.concat(
+                F.lit('<html><head><title>doc</title></head><body><p class="main">'),
+                F.col("text"),
+                F.lit("</p><div>footer</div></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return (
+        PG.extract_text(pg)
+        .select(
+            "doc_id",
+            F.col("extracted_text"),
+            F.sha2(F.col("extracted_text"), 256).alias("text_sha256"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_EXTRACT_TEXT_SQL = r"""
+  WITH built AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           '<html><head><title>doc</title></head><body><p class="main">'
+           || text || '</p><div>footer</div></body></html>' AS html
+    FROM documents WHERE doc_id < 500),
+  ext AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                               '[ \t\n\r\f\v]+', ' ', 'g'),
+                ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)
+           ) AS extracted_text
+    FROM built)
+  SELECT doc_id, extracted_text, sha256(extracted_text) AS text_sha256
+  FROM ext ORDER BY doc_id
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(e, threshold=0.30).orderBy(
@@ -2824,7 +2928,8 @@ QUERIES = {
     "q_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
     "q_dedup_pipeline": (q_dedup_pipeline, Q_DEDUP_PIPELINE_SQL),
     # -- group 2: new in round 4 (zero prior coverage) ---------------------
-    # (new round-4 queries are registered here)
+    "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
+    "q_extract_text": (q_extract_text, Q_EXTRACT_TEXT_SQL),
     # -- group 3: one prior green round (r3 only) --------------------------
     "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
     "q_vocab_topk": (q_vocab_topk, Q_VOCAB_TOPK_SQL),

@@ -289,3 +289,94 @@ def embedding_near_dup_pairs_lsh(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_centroids: int = 4096,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the coarse-quantizer scale
+    path between :func:`cosine_topk` (exact, small-Q) and
+    :func:`lsh_bucket_topk` (signature buckets).
+
+    ``centroids`` is the coarse codebook -- small by construction (IVF
+    books are O(sqrt(corpus)) at most; we hard-cap the driver collect at
+    ``max_centroids``). It is compiled into literal column expressions,
+    so corpus-to-centroid assignment is a pure projection on the scan:
+    NO join and NO shuffle touches the corpus. Each query probes its
+    ``nprobe`` nearest centroids; the probe set is broadcast, so the
+    bucket equi-join is also shuffle-free and only the O(|Q| * k) top-k
+    window shuffles at the end. Candidate volume drops by roughly
+    nprobe/|centroids| vs the exact scan.
+
+    Determinism: similarities are rounded to 6 dp before every argmax /
+    ordering, ties break on ascending centroid / neighbor id -- the same
+    total order the DuckDB oracle (q_ann_ivf) expresses with
+    ``row_number() OVER (ORDER BY round(cos, 6) DESC, id ASC)``. Recall
+    vs the exact scan is asserted in tests, not assumed.
+    """
+    cents = centroids.select(id_col, vec_col).limit(max_centroids + 1).collect()
+    if len(cents) > max_centroids:
+        raise ValueError(
+            f"coarse codebook exceeds max_centroids={max_centroids}; "
+            "IVF wants a small quantizer (grow nlist via hierarchical "
+            "books, not a giant driver collect)"
+        )
+    cents = sorted(cents, key=lambda r: r[id_col])
+    cids = [int(r[id_col]) for r in cents]
+    cid_arr = F.array(*[F.lit(c).cast("long") for c in cids])
+
+    def cos_to_cents(v: Column) -> list[Column]:
+        return [
+            F.round(
+                cosine(v, F.array(*[F.lit(float(x)) for x in r[vec_col]])), 6
+            )
+            for r in cents
+        ]
+
+    cv = F.col(vec_col).cast("array<double>")
+    # corpus: first-max over centroids (cids ascending => smallest cid tie)
+    cos_arr = F.array(*cos_to_cents(cv))
+    bucket = F.element_at(
+        cid_arr, F.array_position(cos_arr, F.array_max(cos_arr)).cast("int")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        cv.alias("cv"),
+        bucket.alias("bucket"),
+    )
+    # queries: nprobe nearest centroids ((-cos asc, cid asc) struct sort)
+    probe_pairs = F.array(
+        *[
+            F.struct((-c).alias("nc"), F.lit(cid).cast("long").alias("cid"))
+            for c, cid in zip(cos_to_cents(cv), cids)
+        ]
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        cv.alias("qv"),
+        F.explode(
+            F.slice(F.sort_array(probe_pairs), 1, nprobe)
+        ).alias("__p"),
+    ).select("query_id", "qv", F.col("__p.cid").alias("bucket"))
+
+    cand = corpus.join(F.broadcast(probes), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn(
+        "cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
