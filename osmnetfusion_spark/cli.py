@@ -91,13 +91,15 @@ def main(argv=None) -> None:
                     "(scale, code hash) matches the manifest; pass --resume to "
                     "reuse a MISMATCHED warehouse's snapshots anyway")
     pp.add_argument(
-        "--barriers", choices=["operator", "phase"], default="operator",
+        "--barriers", choices=["auto", "operator", "phase"], default="auto",
         help="simplification stage-boundary granularity: 'operator' "
         "materializes every step (max resume coverage; fastest at small "
         "inputs); 'phase' keeps only the four natural phase boundaries "
         "(measured ~12%% faster at 65k-edge inputs -- skipped "
         "materialization of large intermediates outweighs the "
-        "recomputation; identical output, see BENCH/BASELINE.md)",
+        "recomputation; identical output, see BENCH/BASELINE.md); "
+        "'auto' (default) picks operator for durable-snapshot runs and "
+        "small inputs, phase above %d edges" % pipeline.AUTO_PHASE_EDGE_THRESHOLD,
     )
     pp.set_defaults(fn=cmd_pipeline)
 

@@ -31,6 +31,39 @@ PHASE_BARRIERS = frozenset(
     {"s6_edges", "s6_nodes", "s7_nodes", "s8_edges", "final_edges"}
 )
 
+#: Input size (edge rows) above which ``barriers="auto"`` picks phase
+#: granularity for non-durable runs. From the §1.2 audit
+#: (BENCH/BASELINE.md, tools/bench_barriers.py): at 4k edges the two
+#: modes are within noise of each other (29.2 vs 27.7 s r4 window, 36.2
+#: vs 38.2 s r3 window), at 16k edges phase wins ~25% (65.4 vs 49.2 s)
+#: and at 65k ~12% — skipping materialization of the large s1/s5
+#: intermediates beats the recomputation once localCheckpoint write
+#: volume dominates. Operator stays the small-input default for its
+#: stronger step isolation; the crossover is placed between the 4k and
+#: 16k cells.
+AUTO_PHASE_EDGE_THRESHOLD = 8_000
+
+
+def resolve_barriers(barriers: str, snap, edges: DataFrame) -> str:
+    """Resolve the ``barriers`` mode for a simplification run.
+
+    Explicit "operator"/"phase" pass through. "auto" resolves to:
+
+    - "operator" with a durable ``Snapshotter`` — resume coverage wants
+      every step boundary committed, and the audit's 12% is a local-mode
+      localCheckpoint-I/O effect that doesn't apply to durable stages;
+    - otherwise "phase" when the input exceeds
+      :data:`AUTO_PHASE_EDGE_THRESHOLD` edges (one cheap count on the
+      checkpointed enrichment output), else "operator".
+    """
+    if barriers != "auto":
+        if barriers not in ("operator", "phase"):
+            raise ValueError(f"unknown barriers mode {barriers!r}")
+        return barriers
+    if snap is not None:
+        return "operator"
+    return "phase" if edges.count() >= AUTO_PHASE_EDGE_THRESHOLD else "operator"
+
 
 def _stager(snap, prefix: str, keep: frozenset | None = None):
     """Stage-boundary materializer.
@@ -152,7 +185,7 @@ def run_simplification(
     cluster_threshold: int = simplify.CLUSTER_THRESHOLD,
     metrics: dict | None = None,
     snap=None,
-    barriers: str = "operator",
+    barriers: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """p3 steps 1-13. Returns (final_nodes, final_edges).
 
@@ -160,14 +193,18 @@ def run_simplification(
     run resumes after the last committed step (the stage closures are
     never invoked for completed steps, so no upstream jobs run).
 
-    ``barriers``: "operator" (default) materializes every step boundary;
-    "phase" keeps only :data:`PHASE_BARRIERS` and leaves the rest lazy
-    (fewer scheduling round-trips on a real cluster).
+    ``barriers``: "operator" materializes every step boundary; "phase"
+    keeps only :data:`PHASE_BARRIERS` and leaves the rest lazy (fewer
+    materializations of the big intermediates); "auto" (default) picks
+    per :func:`resolve_barriers`. Outputs are identical across modes
+    (asserted by tools/bench_barriers.py and test_pipeline).
     """
     import time as _time
 
     m = metrics if metrics is not None else {}
     _t = [_time.time()]
+    barriers = resolve_barriers(barriers, snap, edges)
+    m["barriers_mode"] = barriers
     keep = PHASE_BARRIERS if barriers == "phase" else None
     bound = _stager(snap, "p3_", keep=keep)
 
@@ -295,7 +332,7 @@ def run_full(
     tables: dict[str, DataFrame],
     metrics: dict | None = None,
     snap=None,
-    barriers: str = "operator",
+    barriers: str = "auto",
 ):
     nodes, edges = run_enrichment(spark, tables, metrics=metrics, snap=snap)
     return run_simplification(

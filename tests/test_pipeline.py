@@ -94,14 +94,34 @@ def test_mode_filter(result):
     assert 0 < walk <= all_m
 
 
-def test_deterministic_across_parallelism(spark, result):
-    """Same city, 1 vs 8 shuffle partitions -> byte-identical output."""
+def test_deterministic_across_parallelism_and_barriers(spark, result):
+    """Same city, 1 vs 8 shuffle partitions AND operator vs phase barrier
+    granularity -> byte-identical output (the second run varies both
+    dimensions at once)."""
     _, _, _, edges8 = result
     city = synth.synthetic_city(1)
     tables = {
         k: spark.createDataFrame(v).repartition(1) for k, v in city.items()
     }
-    _, edges1 = pipeline.run_full(spark, tables)
+    _, edges1 = pipeline.run_full(spark, tables, barriers="phase")
     a = sorted(map(str, edges8.drop("g_geo_rea", "g_geo_lin").collect()))
     b = sorted(map(str, edges1.drop("g_geo_rea", "g_geo_lin").collect()))
     assert a == b
+
+
+def test_resolve_barriers(spark, result):
+    """'auto' -> operator for durable runs and small inputs, phase above
+    the audited threshold; explicit modes pass through; the scale-1
+    module run (via the `result` fixture) recorded its resolved mode."""
+    _, m, _, _ = result
+    assert m["barriers_mode"] == "operator"  # scale 1 is far below the bar
+
+    small = spark.range(10)
+    big = spark.range(pipeline.AUTO_PHASE_EDGE_THRESHOLD)
+    assert pipeline.resolve_barriers("auto", None, small) == "operator"
+    assert pipeline.resolve_barriers("auto", None, big) == "phase"
+    assert pipeline.resolve_barriers("auto", object(), big) == "operator"
+    assert pipeline.resolve_barriers("phase", None, small) == "phase"
+    assert pipeline.resolve_barriers("operator", None, big) == "operator"
+    with pytest.raises(ValueError, match="unknown barriers"):
+        pipeline.resolve_barriers("bogus", None, small)
