@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden")
 
 
-def build_outputs(spark):
+def build_outputs(spark, scale: int = 1):
     """(nodes_pdf, edges_pdf, tiles_pdf) canonical pandas frames."""
     from pyspark.sql import functions as F
 
@@ -31,11 +31,11 @@ def build_outputs(spark):
     from osmnetfusion_spark.plans import pages as PG
     from osmnetfusion_spark.plans import pipeline, tiles
 
-    city = synth.synthetic_city(1)
+    city = synth.synthetic_city(scale)
     tables = synth.city_to_spark(spark, city)
     nodes, edges = pipeline.run_full(spark, tables)
 
-    pg = PG.dedupe_latest(synth.pages(spark, 2000, city_scale=1))
+    pg = PG.dedupe_latest(synth.pages(spark, 2000, city_scale=scale))
     segs = spatial.explode_segments(
         edges.select(F.col("g_id").alias("edge_id"), F.col("g_geo_rea").alias("geometry"))
     ).select("edge_id", "seg_idx", "ax", "ay", "bx", "by")
@@ -62,7 +62,21 @@ def canonicalize(pdf, key):
     return pdf
 
 
+#: Every Nth canonical-order row of the scale-8 outputs is committed
+#: (full fixtures would be several MB; the deterministic stride sample
+#: plus exact row counts still pins scale-dependent semantics --
+#: multi-split edges, KMeans threshold crossings, CC block-boundary
+#: fraction -- that the scale-1 fixture can't reach).
+SAMPLE_STRIDE = 37
+
+
+def sample_rows(pdf, stride: int = SAMPLE_STRIDE):
+    return pdf.iloc[::stride].reset_index(drop=True)
+
+
 def main():
+    import json
+
     from osmnetfusion_spark.session import get_session
 
     spark = get_session(app_name="make-golden")
@@ -76,6 +90,15 @@ def main():
         f"golden written: nodes={len(npdf)} edges={len(epdf)} tiles={len(tpdf)}"
         f" -> {GOLDEN_DIR}"
     )
+
+    n8, e8, t8 = build_outputs(spark, scale=8)
+    counts = {"nodes": len(n8), "edges": len(e8), "tiles": len(t8)}
+    with open(os.path.join(GOLDEN_DIR, "scale8_counts.json"), "w") as f:
+        json.dump(counts, f)
+    sample_rows(n8).to_parquet(os.path.join(GOLDEN_DIR, "scale8_nodes_sample.parquet"), index=False)
+    sample_rows(e8).to_parquet(os.path.join(GOLDEN_DIR, "scale8_edges_sample.parquet"), index=False)
+    sample_rows(t8).to_parquet(os.path.join(GOLDEN_DIR, "scale8_tiles_sample.parquet"), index=False)
+    print(f"scale-8 golden written: {counts} (stride-{SAMPLE_STRIDE} samples)")
     spark.stop()
 
 
