@@ -97,13 +97,25 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+#: Decode bound: 4M pixels (~2048x2048). The Average/Paeth de-filters
+#: are per-pixel sequential recurrences (the spec's recon uses
+#: RECONSTRUCTED neighbors, so they cannot be exactly vectorized), and
+#: this pure-Python codec exists for thumbnail/metadata extraction --
+#: larger assets must REJECT fast (decoded=false downstream), not decode
+#: slowly. A real bulk-decode deployment swaps in a codec library.
+MAX_DECODE_PIXELS = 1 << 22
+
+
+def decode_png(
+    data: bytes, max_pixels: int = MAX_DECODE_PIXELS
+) -> tuple[int, int, np.ndarray]:
     """Parse chunks (CRC-checked), inflate IDAT, undo scanline filters.
 
     Returns (width, height, pixels) -- (h, w) for grayscale, (h, w, 3)
-    for RGB. De-filtering Sub/Average/Paeth is per-pixel sequential (the
-    spec's recon uses RECONSTRUCTED neighbors); fine for thumbnail-scale
-    assets, a real deployment uses a codec library for megapixel inputs.
+    for RGB. None/Up/Sub de-filters are numpy-vectorized (Sub is an
+    exact per-channel cumulative sum mod 256); Average/Paeth stay
+    per-pixel sequential, bounded by ``max_pixels`` (checked at IHDR,
+    BEFORE inflating IDAT, so oversized rows reject in O(header)).
     """
     if data[: len(PNG_SIG)] != PNG_SIG:
         raise ValueError("not a PNG payload")
@@ -121,6 +133,11 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             w, h, bitd, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
             if bitd != 8 or ctype not in (0, 2) or interlace != 0:
                 raise ValueError("unsupported PNG variant (8-bit gray/rgb, no interlace)")
+            if w * h > max_pixels:
+                raise ValueError(
+                    f"PNG {w}x{h} exceeds max_pixels={max_pixels} decode "
+                    "bound (pure-Python thumbnail codec)"
+                )
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -143,13 +160,17 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             cur = line
         elif ft == 2:
             cur = (line + prev) % 256
-        elif ft in (1, 3, 4):
+        elif ft == 1:
+            # Sub: recon[x] = raw[x] + recon[x-nch] is, per channel lane,
+            # an exact prefix sum mod 256 -- vectorized, no recurrence
+            cur = line.copy()
+            for c in range(nch):
+                cur[c::nch] = np.cumsum(line[c::nch]) % 256
+        elif ft in (3, 4):
             cur = line.copy()
             for x in range(stride):
                 left = int(cur[x - nch]) if x >= nch else 0
-                if ft == 1:
-                    cur[x] = (cur[x] + left) % 256
-                elif ft == 3:
+                if ft == 3:
                     cur[x] = (cur[x] + (left + int(prev[x])) // 2) % 256
                 else:
                     ul = int(prev[x - nch]) if x >= nch else 0

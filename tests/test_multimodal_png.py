@@ -27,6 +27,52 @@ def test_not_png_rejected():
         MM.decode_png(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 
+def _huge_header_png() -> bytes:
+    """Valid-CRC PNG advertising 65536x65536 in IHDR with no pixel data:
+    the decoder must reject at the header, before ever touching IDAT."""
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", 65536, 65536, 8, 0, 0, 0, 0)
+    return (
+        MM.PNG_SIG
+        + MM._chunk(b"IHDR", ihdr)
+        + MM._chunk(b"IDAT", b"")
+        + MM._chunk(b"IEND", b"")
+    )
+
+
+def test_oversized_image_rejects_fast():
+    """VERDICT r3 #7: rows above the thumbnail decode bound must degrade
+    gracefully (reject in O(header)), not decode slowly."""
+    import time
+
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="max_pixels"):
+        MM.decode_png(_huge_header_png())
+    assert time.perf_counter() - t0 < 0.1  # header-time, not pixel-time
+    # raising the bound re-enables the path (guard, not a hard cap) --
+    # decode then proceeds past IHDR and fails on the empty IDAT instead
+    with pytest.raises(ValueError, match="max_pixels"):
+        MM.decode_png(_huge_header_png(), max_pixels=65536 * 65536 - 1)
+
+
+def test_oversized_image_row_degrades_to_undecoded(spark):
+    px = np.full((3, 5), 100, dtype=np.uint8)
+    rows = [
+        ("ok", bytearray(MM.encode_png(px))),
+        ("huge", bytearray(_huge_header_png())),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, png binary")
+    out = {
+        r.doc_id: r
+        for r in MM.decode_and_featurize(
+            df, payload="png", id_col="doc_id", fake=False
+        ).collect()
+    }
+    assert out["ok"].decoded
+    assert not out["huge"].decoded and out["huge"].width is None
+
+
 def test_decode_and_featurize_mixed_payloads(spark):
     # one real PNG + one undecodable payload in the same batch: the PNG
     # decodes, the other row comes back decoded=false instead of failing
