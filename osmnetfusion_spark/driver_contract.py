@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from . import h3idx
 from .functions import geo, tags
-from .operators import dedup, similarity, spatial, textstats
+from .operators import dedup, similarity, spatial, temporal, textstats
 from .plans import tiles
 
 # window aligned with the synthetic city (scale 1)
@@ -1400,6 +1400,84 @@ Q_EXTRACT_TEXT_SQL = r"""
     FROM built)
   SELECT doc_id, extracted_text, sha256(extracted_text) AS text_sha256
   FROM ext ORDER BY doc_id
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.asof_join): each purchase event
+    picks up the latest error event of the same user at-or-before it
+    (ties on the error timestamp break to the largest event_id). All
+    arithmetic on exact microsecond longs; the oracle re-derives the
+    semantics as a row_number over an explicit inequality join, sharing
+    nothing with the union + carry-forward window plan."""
+    e = _t(spark, sf_dir, "events")
+    l = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    r = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "event_id",
+        F.round("value", 6).alias("value"),
+    )
+    out = temporal.asof_join(
+        l, r, on="user_id", right_cols=["event_id", "value"], seq_col="event_id"
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.col("asof_event_id"),
+        F.col("asof_value"),
+        (F.col("ts_us") - F.col("asof_ts_us")).alias("lag_us"),
+    ).orderBy("event_id")
+
+
+Q_ASOF_JOIN_SQL = """
+  WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+             FROM events WHERE event_type = 'purchase'),
+       r AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                    round(value, 6) AS value
+             FROM events WHERE event_type = 'error')
+  SELECT event_id, user_id, ts_us, asof_event_id, asof_value, lag_us FROM (
+    SELECT l.event_id, l.user_id, l.ts_us,
+           r.event_id AS asof_event_id, r.value AS asof_value,
+           l.ts_us - r.ts_us AS lag_us,
+           row_number() OVER (PARTITION BY l.event_id
+                              ORDER BY r.ts_us DESC, r.event_id DESC) AS rn
+    FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts_us <= l.ts_us) __t
+  WHERE rn = 1 ORDER BY event_id
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Interval join (operators/temporal.range_interval_join): signup
+    events open a 2-hour half-open window; purchases of the same user
+    inside the window attach to it via hour-bucketed explode +
+    equi-join + exact containment (no cross product, no dedupe -- the
+    point side is never exploded). Oracle = the plain inequality join."""
+    e = _t(spark, sf_dir, "events")
+    pts = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    iv = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(7_200_000_000)).alias("end_us"),
+    )
+    out = temporal.range_interval_join(pts, iv, on="user_id")
+    return out.select(
+        "signup_id", "purchase_id", "user_id",
+        (F.col("ts_us") - F.col("start_us")).alias("offset_us"),
+    ).orderBy("signup_id", "purchase_id")
+
+
+Q_RANGE_JOIN_SQL = """
+  SELECT s.event_id AS signup_id, p.event_id AS purchase_id, p.user_id,
+         epoch_us(p.ts) - epoch_us(s.ts) AS offset_us
+  FROM events s JOIN events p
+    ON p.user_id = s.user_id
+   AND s.event_type = 'signup' AND p.event_type = 'purchase'
+   AND epoch_us(p.ts) >= epoch_us(s.ts)
+   AND epoch_us(p.ts) < epoch_us(s.ts) + 7200000000
+  ORDER BY signup_id, purchase_id
 """
 
 
@@ -2930,6 +3008,8 @@ QUERIES = {
     # -- group 2: new in round 4 (zero prior coverage) ---------------------
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_extract_text": (q_extract_text, Q_EXTRACT_TEXT_SQL),
+    "q_asof_join": (q_asof_join, Q_ASOF_JOIN_SQL),
+    "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
     # -- group 3: one prior green round (r3 only) --------------------------
     "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
     "q_vocab_topk": (q_vocab_topk, Q_VOCAB_TOPK_SQL),
