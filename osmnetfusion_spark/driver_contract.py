@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from . import h3idx
 from .functions import geo, tags
-from .operators import dedup, similarity, spatial, temporal, textstats
+from .operators import dedup, sampling, similarity, spatial, temporal, textstats
 from .plans import tiles
 
 # window aligned with the synthetic city (scale 1)
@@ -1400,6 +1400,63 @@ Q_EXTRACT_TEXT_SQL = r"""
     FROM built)
   SELECT doc_id, extracted_text, sha256(extracted_text) AS text_sha256
   FROM ext ORDER BY doc_id
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language fixed-k sample
+    (operators/sampling.sample_per_group): Knuth-hash total order makes
+    the selection reproducible under any partitioning and exactly
+    re-derivable by the oracle's row_number over the same BIGINT
+    arithmetic -- no rand(), no seed-vs-partitioning ambiguity."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.sample_per_group(d, "lang", "doc_id", k=40)
+    return out.select(
+        "doc_id", "lang",
+        sampling.knuth_hash("doc_id").alias("sample_key"),
+    ).orderBy("lang", "doc_id")
+
+
+Q_SAMPLE_STRATIFIED_SQL = """
+  SELECT doc_id, lang, sample_key FROM (
+    SELECT doc_id, lang,
+           (doc_id * 2654435761) % 4294967296 AS sample_key,
+           row_number() OVER (
+             PARTITION BY lang
+             ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC
+           ) AS rn
+    FROM documents) __t
+  WHERE rn <= 40 ORDER BY lang, doc_id
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (operators/sampling.pack_sequences):
+    GPT-style concat-then-chunk per language over the deterministic
+    (n_chars desc, doc_id) layout; pack_id/pack_offset are pure integer
+    window arithmetic the oracle re-derives with a 1-PRECEDING running
+    sum."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.pack_sequences(
+        d, "n_chars", "doc_id", budget=20_000, pack_keys="lang"
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars", "pack_id", "pack_offset"
+    ).orderBy("lang", "pack_id", "pack_offset", "doc_id")
+
+
+Q_PACK_SEQUENCES_SQL = """
+  SELECT doc_id, lang, n_chars,
+         CAST(floor(run_before / 20000) AS BIGINT) AS pack_id,
+         CAST(run_before % 20000 AS BIGINT) AS pack_offset
+  FROM (
+    SELECT doc_id, lang, n_chars,
+           COALESCE(SUM(n_chars) OVER (
+             PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS run_before
+    FROM documents) __t
+  ORDER BY lang, pack_id, pack_offset, doc_id
 """
 
 
@@ -3010,6 +3067,8 @@ QUERIES = {
     "q_extract_text": (q_extract_text, Q_EXTRACT_TEXT_SQL),
     "q_asof_join": (q_asof_join, Q_ASOF_JOIN_SQL),
     "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
+    "q_sample_stratified": (q_sample_stratified, Q_SAMPLE_STRATIFIED_SQL),
+    "q_pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     # -- group 3: one prior green round (r3 only) --------------------------
     "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
     "q_vocab_topk": (q_vocab_topk, Q_VOCAB_TOPK_SQL),

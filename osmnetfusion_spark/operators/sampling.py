@@ -1,0 +1,120 @@
+"""Deterministic corpus sampling and sequence packing.
+
+Training-data pipelines need reproducible subsets ("2% of every domain",
+"exactly 1,000 docs per language") and token-budget batch packing.
+`df.sample()` is seed-dependent on partitioning and not oracle-checkable;
+these operators derive every decision from the DATA via integer hash
+arithmetic, so the same input always yields the same sample on any
+cluster layout -- and an ANSI-SQL oracle can re-derive it exactly.
+
+The hash is Knuth's multiplicative scheme over the row id folded to
+32 bits: ``(id * 2654435761) % 2^32``. Not cryptographic -- the point is
+a uniform-enough, dialect-portable (pure BIGINT arithmetic) total order
+that is independent of the grouping key, so per-group thresholds and
+ranks are unbiased.
+
+Scale shape: rate sampling is a pure scan filter (no shuffle, pushes
+down past column pruning); fixed-k per group is one window over the
+group key (same cost as any per-key top-k); packing is one window over
+the pack key ordered by the deterministic layout order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["knuth_hash", "sample_rate", "sample_per_group", "pack_sequences"]
+
+KNUTH = 2654435761  # 2^32 / golden ratio, Knuth TAOCP vol.3 §6.4
+M32 = 1 << 32
+
+
+def knuth_hash(id_col: Column | str) -> Column:
+    """Fold a BIGINT id to a deterministic uniform-ish value in [0, 2^32)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (c.cast("long") * F.lit(KNUTH)) % F.lit(M32)
+
+
+def sample_rate(df: DataFrame, id_col: str, rate: float) -> DataFrame:
+    """Keep ~``rate`` of rows, decided per row by hash threshold.
+
+    A pure filter: no shuffle, no state, stable under repartitioning,
+    resumable (re-running selects the same rows). Pair with a stratum
+    column upstream to get per-stratum rates (filter before groupBy).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(knuth_hash(id_col) < F.lit(int(rate * M32)))
+
+
+def sample_per_group(
+    df: DataFrame, group_cols: str | list[str], id_col: str, k: int
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by hash order.
+
+    The hash total-orders each group independently of how the data
+    arrived, so the selection is a uniform-without-replacement sample
+    that is reproducible and oracle-checkable (row_number over the same
+    arithmetic). One shuffle on the group key.
+    """
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        knuth_hash(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    len_col: str,
+    id_col: str,
+    budget: int,
+    pack_keys: str | list[str] | None = None,
+    order: str = "length_desc",
+) -> DataFrame:
+    """Assign rows to token-budget bins: contiguous cumulative-sum
+    packing over a deterministic layout order.
+
+    Each row gets ``pack_id = floor(running_sum_before / budget)`` and
+    ``pack_offset = running_sum_before % budget`` -- the GPT-style
+    concat-then-chunk layout: documents are laid end to end in the
+    deterministic order and sliced into budget-size windows; a document
+    straddling a boundary belongs to the window its first token lands
+    in. First-fit-decreasing's packing gain over this is small when
+    budget >> typical doc length, and unlike FFD this is a single
+    window expression, not a sequential bin search.
+
+    ``order``: "length_desc" (default; groups long docs together, the
+    FFD-style layout) or "hash" (shuffles docs uniformly across packs --
+    use when packs must be topic-decorrelated). Both orders are total
+    (id tiebreak) so pack assignment is reproducible.
+
+    With ``pack_keys`` the packing is per group (e.g. per language);
+    one shuffle on the pack keys, cumulative window, no driver state.
+    """
+    keys = (
+        [pack_keys] if isinstance(pack_keys, str)
+        else list(pack_keys) if pack_keys else []
+    )
+    if order == "length_desc":
+        by = [F.col(len_col).desc(), F.col(id_col).asc()]
+    elif order == "hash":
+        by = [knuth_hash(id_col).asc(), F.col(id_col).asc()]
+    else:
+        raise ValueError(f"order must be length_desc|hash, got {order!r}")
+    w = (
+        Window.partitionBy(*keys).orderBy(*by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col(len_col).cast("long")).over(w)
+    before = run - F.col(len_col).cast("long")
+    return df.select(
+        "*",
+        F.floor(before / F.lit(int(budget))).cast("long").alias("pack_id"),
+        (before % F.lit(int(budget))).alias("pack_offset"),
+    )

@@ -1,0 +1,97 @@
+"""Deterministic sampling + packing: statistical sanity, exact
+reproducibility under repartitioning, and packing invariants."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osmnetfusion_spark.operators import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(10_000),
+        "domain": rng.integers(0, 7, 10_000),
+        "n_tokens": rng.integers(1, 900, 10_000),
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_sample_rate_unbiased_and_stable(docs):
+    out = sampling.sample_rate(docs, "doc_id", 0.2)
+    n = out.count()
+    assert abs(n / 10_000 - 0.2) < 0.02  # uniformity of the hash
+    # partitioning-invariant: identical id set at any layout
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {
+        r.doc_id
+        for r in sampling.sample_rate(docs.repartition(17), "doc_id", 0.2).collect()
+    }
+    assert ids1 == ids2
+    # nested rates: the 10% sample is a subset of the 20% sample
+    ids_small = {
+        r.doc_id for r in sampling.sample_rate(docs, "doc_id", 0.1).collect()
+    }
+    assert ids_small <= ids1
+
+
+def test_sample_rate_bounds(docs):
+    assert sampling.sample_rate(docs, "doc_id", 0.0).count() == 0
+    assert sampling.sample_rate(docs, "doc_id", 1.0).count() == 10_000
+    with pytest.raises(ValueError, match="rate"):
+        sampling.sample_rate(docs, "doc_id", 1.5)
+
+
+def test_sample_per_group_exact_k_and_stable(docs):
+    out = sampling.sample_per_group(docs, "domain", "doc_id", 50).toPandas()
+    sizes = out.groupby("domain").size()
+    assert (sizes == 50).all()  # every domain has >50 docs at this seed
+    again = sampling.sample_per_group(
+        docs.repartition(13), "domain", "doc_id", 50
+    ).toPandas()
+    assert set(map(tuple, out[["domain", "doc_id"]].values)) == set(
+        map(tuple, again[["domain", "doc_id"]].values)
+    )
+
+
+def test_sample_per_group_small_group(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "g": [0, 0, 1]})
+    out = sampling.sample_per_group(
+        spark.createDataFrame(pdf), "g", "doc_id", 10
+    ).count()
+    assert out == 3  # min(k, |group|)
+
+
+def test_pack_sequences_invariants(docs):
+    out = sampling.pack_sequences(
+        docs, "n_tokens", "doc_id", budget=8192, pack_keys="domain"
+    ).toPandas()
+    assert len(out) == 10_000  # every row packed
+    # per (domain, pack): concat-then-chunk means each pack's docs start
+    # inside its budget window, in layout order
+    for (_, pid), g in out.groupby(["domain", "pack_id"]):
+        assert (g.pack_offset >= pid * 0).all()
+        assert (g.pack_offset < 8192).all()
+    # pack ids are dense from 0 per domain
+    for _, g in out.groupby("domain"):
+        pids = sorted(g.pack_id.unique())
+        assert pids[0] == 0 and pids == list(range(len(pids)))
+        # total tokens == last pack_id * budget + tail: the running sum
+        # reconstructs exactly
+        total = g.n_tokens.sum()
+        assert total > pids[-1] * 8192  # last window is non-empty
+
+
+def test_pack_sequences_order_modes_differ(docs):
+    a = sampling.pack_sequences(docs, "n_tokens", "doc_id", 8192).toPandas()
+    b = sampling.pack_sequences(
+        docs, "n_tokens", "doc_id", 8192, order="hash"
+    ).toPandas()
+    assert not a.sort_values("doc_id").pack_id.equals(
+        b.sort_values("doc_id").pack_id
+    )
+    with pytest.raises(ValueError, match="order"):
+        sampling.pack_sequences(docs, "n_tokens", "doc_id", 8192, order="random")
