@@ -332,39 +332,80 @@ def ivf_topk(
     cids = [int(r[id_col]) for r in cents]
     cid_arr = F.array(*[F.lit(c).cast("long") for c in cids])
 
-    def cos_to_cents(v: Column) -> list[Column]:
-        return [
-            F.round(
-                cosine(v, F.array(*[F.lit(float(x)) for x in r[vec_col]])), 6
-            )
-            for r in cents
-        ]
+    # The codebook ships as ONE nested-array literal and all |codebook|
+    # cosines evaluate in a single zip_with -- a compact constant-size
+    # expression tree instead of |codebook| x dim per-element literal
+    # nodes. (Both the per-centroid `cosine()` form and a fully-unrolled
+    # element_at multiply-add chain were measured slower at sf0.1 --
+    # 4.8 s and 27 s respectively vs ~1 s -- the cost was plan
+    # construction/analysis of the thousands-of-nodes trees, not row
+    # work.) Value-preserving: the dot fold, the shared row norm, and
+    # the Python-folded centroid norms perform the identical IEEE
+    # operation sequences, pinned by the contract oracle + recall tests.
+    bvecs = [[float(x) for x in r[vec_col]] for r in cents]
+    dim = len(bvecs[0])
+    if any(len(b) != dim for b in bvecs):
+        raise ValueError("codebook vectors must share one dimensionality")
 
+    def _py_norm(b: list[float]) -> float:
+        acc = 0.0
+        for x in b:  # same sequential order as the column fold
+            acc += x * x
+        return acc ** 0.5
+
+    book_lit = F.lit(bvecs)
+    bnorm_lit = F.lit([_py_norm(b) for b in bvecs])
     cv = F.col(vec_col).cast("array<double>")
+
+    def with_cos(df: DataFrame) -> DataFrame:
+        """Add __cos: rounded cosine to every codebook row, sharing one
+        row-norm column (cosine() would re-fold it per centroid)."""
+        return df.withColumn("__vn", _norm(F.col("cv"))).withColumn(
+            "__cos",
+            F.zip_with(
+                book_lit,
+                bnorm_lit,
+                lambda b, nb: F.round(
+                    _dot(F.col("cv"), b) / (F.col("__vn") * nb), 6
+                ),
+            ),
+        )
+
     # corpus: first-max over centroids (cids ascending => smallest cid tie)
-    cos_arr = F.array(*cos_to_cents(cv))
-    bucket = F.element_at(
-        cid_arr, F.array_position(cos_arr, F.array_max(cos_arr)).cast("int")
-    )
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        cv.alias("cv"),
-        bucket.alias("bucket"),
+    corpus = with_cos(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), cv.alias("cv"))
+    ).select(
+        "neighbor_id",
+        "cv",
+        F.element_at(
+            cid_arr,
+            F.array_position(F.col("__cos"), F.array_max("__cos")).cast("int"),
+        ).alias("bucket"),
     )
     # queries: nprobe nearest centroids ((-cos asc, cid asc) struct sort)
-    probe_pairs = F.array(
-        *[
-            F.struct((-c).alias("nc"), F.lit(cid).cast("long").alias("cid"))
-            for c, cid in zip(cos_to_cents(cv), cids)
-        ]
+    probes = (
+        with_cos(queries.select(F.col(id_col).alias("query_id"), cv.alias("cv")))
+        .select(
+            "query_id",
+            F.col("cv").alias("qv"),
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        F.zip_with(
+                            F.col("__cos"),
+                            cid_arr,
+                            lambda c, cid: F.struct(
+                                (-c).alias("nc"), cid.alias("cid")
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("__p"),
+        )
+        .select("query_id", "qv", F.col("__p.cid").alias("bucket"))
     )
-    probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        cv.alias("qv"),
-        F.explode(
-            F.slice(F.sort_array(probe_pairs), 1, nprobe)
-        ).alias("__p"),
-    ).select("query_id", "qv", F.col("__p.cid").alias("bucket"))
 
     cand = corpus.join(F.broadcast(probes), "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
