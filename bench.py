@@ -123,14 +123,24 @@ def main() -> None:
         t16 = {k: v.localCheckpoint() for k, v in synth.city_to_spark(spark, city16).items()}
         for v in t16.values():
             v.count()
-        t0 = time.time()
-        _n16, e16 = pipeline.run_full(spark, t16)
-        n_out16 = e16.count()
-        sec16 = time.time() - t0
+        # min-of-2: a single pass drew a 1.5x-noisy window in the r4
+        # record (164.7 s vs 138.7 s quiet) -- same protocol as the
+        # per-query vector, self-documented via the noise entry
+        runs16 = []
+        n_out16 = None
+        for _ in range(2):
+            t0 = time.time()
+            _n16, e16 = pipeline.run_full(spark, t16)
+            n_out = e16.count()
+            assert n_out16 is None or n_out == n_out16
+            n_out16 = n_out
+            runs16.append(time.time() - t0)
+        sec16 = min(runs16)
         extras["pipeline_scale16_sec"] = round(sec16, 3)
         extras["pipeline_scale16_input_edges"] = n_in16
         extras["pipeline_scale16_output_edges"] = n_out16
         extras["pipeline_scale16_input_edges_per_sec"] = round(n_in16 / max(sec16, 1e-9), 1)
+        extras["pipeline_scale16_noise_ratio"] = round(max(runs16) / max(sec16, 1e-9), 2)
 
     # ---- representative operator queries on the driver tables
     # Quiet-window protocol (VERDICT r2 #5): the sandbox VM shares a
