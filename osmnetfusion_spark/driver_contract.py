@@ -1430,6 +1430,36 @@ Q_SAMPLE_STRATIFIED_SQL = """
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Mixture reweighting (operators/sampling.sample_weighted): keep
+    50% of en, 25% of zh, all other languages -- per-row hash-threshold
+    decision, floor(w * 2^32) on both sides (dialects disagree on
+    double->int rounding, floor is exact)."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("lang") == "en", F.lit(0.5))
+        .when(F.col("lang") == "zh", F.lit(0.25))
+        .otherwise(F.lit(1.0))
+    )
+    out = sampling.sample_weighted(d.withColumn("__w", w), "doc_id", "__w")
+    return out.select(
+        "doc_id", "lang", F.col("__w").cast("double").alias("weight")
+    ).orderBy("doc_id")
+
+
+Q_WEIGHTED_SAMPLE_SQL = """
+  SELECT doc_id, lang, weight FROM (
+    SELECT doc_id, lang,
+           CASE WHEN lang = 'en' THEN CAST(0.5 AS DOUBLE)
+                WHEN lang = 'zh' THEN CAST(0.25 AS DOUBLE)
+                ELSE CAST(1.0 AS DOUBLE) END AS weight,
+           (doc_id * 2654435761) % 4294967296 AS h
+    FROM documents) __t
+  WHERE h < floor(weight * 4294967296.0)
+  ORDER BY doc_id
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing (operators/sampling.pack_sequences):
     GPT-style concat-then-chunk per language over the deterministic
@@ -3069,6 +3099,7 @@ QUERIES = {
     "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
     "q_sample_stratified": (q_sample_stratified, Q_SAMPLE_STRATIFIED_SQL),
     "q_pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
+    "q_weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
     # -- group 3: one prior green round (r3 only) --------------------------
     "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
     "q_vocab_topk": (q_vocab_topk, Q_VOCAB_TOPK_SQL),

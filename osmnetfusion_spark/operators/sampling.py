@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["knuth_hash", "sample_rate", "sample_per_group", "pack_sequences"]
+__all__ = [
+    "knuth_hash", "sample_rate", "sample_weighted", "sample_per_group",
+    "pack_sequences",
+]
 
 KNUTH = 2654435761  # 2^32 / golden ratio, Knuth TAOCP vol.3 §6.4
 M32 = 1 << 32
@@ -46,6 +49,23 @@ def sample_rate(df: DataFrame, id_col: str, rate: float) -> DataFrame:
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     return df.filter(knuth_hash(id_col) < F.lit(int(rate * M32)))
+
+
+def sample_weighted(df: DataFrame, id_col: str, weight_col: Column | str) -> DataFrame:
+    """Keep each row with probability ``weight_col`` (per-row, in [0,1]),
+    decided by hash threshold -- deterministic importance downsampling
+    for corpus mixture reweighting ("keep 50% of en, 25% of low-quality,
+    all of everything else"). Weights usually come from a broadcast-
+    joined mixture table or a quality-score expression upstream; still a
+    pure scan filter, no shuffle, stable under repartitioning, and a row
+    kept at weight w stays kept at any weight >= w (nested mixtures).
+
+    ``floor(w * 2^32)`` is the threshold on both the engine and oracle
+    side -- floor, not cast, because SQL dialects disagree on
+    double->int rounding (Spark truncates, DuckDB rounds half-even).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.filter(knuth_hash(id_col) < F.floor(w * F.lit(float(M32))))
 
 
 def sample_per_group(

@@ -45,6 +45,31 @@ def test_sample_rate_bounds(docs):
         sampling.sample_rate(docs, "doc_id", 1.5)
 
 
+def test_sample_weighted_rates_and_nesting(docs):
+    w = (
+        F.when(F.col("domain") < 2, F.lit(0.5))
+        .when(F.col("domain") < 4, F.lit(0.25))
+        .otherwise(F.lit(1.0))
+    )
+    out = sampling.sample_weighted(
+        docs.withColumn("w", w), "doc_id", "w"
+    ).toPandas()
+    rates = out.groupby("domain").size() / 10_000 * 7  # ~1428 docs/domain
+    for dom, want in [(0, 0.5), (1, 0.5), (2, 0.25), (3, 0.25), (4, 1.0)]:
+        assert abs(rates[dom] - want) < 0.06, (dom, rates[dom])
+    # weight monotonicity: every row kept at w=0.25 is kept at w=0.5
+    k25 = {r.doc_id for r in sampling.sample_weighted(
+        docs.withColumn("w", F.lit(0.25)), "doc_id", "w").collect()}
+    k50 = {r.doc_id for r in sampling.sample_weighted(
+        docs.withColumn("w", F.lit(0.5)), "doc_id", "w").collect()}
+    assert k25 <= k50
+    # w=1.0 keeps everything, w=0.0 nothing
+    assert sampling.sample_weighted(
+        docs.withColumn("w", F.lit(1.0)), "doc_id", "w").count() == 10_000
+    assert sampling.sample_weighted(
+        docs.withColumn("w", F.lit(0.0)), "doc_id", "w").count() == 0
+
+
 def test_sample_per_group_exact_k_and_stable(docs):
     out = sampling.sample_per_group(docs, "domain", "doc_id", 50).toPandas()
     sizes = out.groupby("domain").size()
