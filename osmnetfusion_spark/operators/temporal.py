@@ -174,5 +174,11 @@ def range_interval_join(
         ),
     ).drop("__nb")
     pt = points.withColumn("__b", fdiv(ps))
-    out = pt.join(iv, keys + ["__b"]).filter((ps >= s) & (ps < e)).drop("__b")
-    return out
+    # qualify through the joined frames: points and intervals may share
+    # column names (e.g. both called ts_us), which would make bare
+    # F.col refs ambiguous after the join
+    p_ts = pt[point_ts].cast("long")
+    contained = (p_ts >= iv[start_ts].cast("long")) & (
+        p_ts < iv[end_ts].cast("long")
+    )
+    return pt.join(iv, keys + ["__b"]).filter(contained).drop("__b")
