@@ -92,6 +92,9 @@ def main(argv=None) -> None:
                     "reuse a MISMATCHED warehouse's snapshots anyway")
     pp.add_argument(
         "--barriers", choices=["auto", "operator", "phase"], default="auto",
+        # NOTE: no printf-style pre-formatting here -- argparse expands
+        # help with `help %% params` itself, so a pre-format collapses
+        # the escaped %% and --help then crashes on the bare %
         help="simplification stage-boundary granularity: 'operator' "
         "materializes every step (max resume coverage; fastest at small "
         "inputs); 'phase' keeps only the four natural phase boundaries "
@@ -99,7 +102,8 @@ def main(argv=None) -> None:
         "materialization of large intermediates outweighs the "
         "recomputation; identical output, see BENCH/BASELINE.md); "
         "'auto' (default) picks operator for durable-snapshot runs and "
-        "small inputs, phase above %d edges" % pipeline.AUTO_PHASE_EDGE_THRESHOLD,
+        "small inputs, phase above "
+        + str(pipeline.AUTO_PHASE_EDGE_THRESHOLD) + " edges",
     )
     pp.set_defaults(fn=cmd_pipeline)
 

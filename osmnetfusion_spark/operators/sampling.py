@@ -34,9 +34,24 @@ M32 = 1 << 32
 
 
 def knuth_hash(id_col: Column | str) -> Column:
-    """Fold a BIGINT id to a deterministic uniform-ish value in [0, 2^32)."""
+    """Fold a BIGINT id to a deterministic uniform-ish value in [0, 2^32).
+
+    Computed as ``(id mod 2^32) * KNUTH mod 2^32`` with the multiply
+    split at 16 bits so no intermediate exceeds 2^49 -- a naive
+    ``id * KNUTH`` overflows signed 64-bit for ids >= ~3.47e9 (real OSM
+    node ids are ~12e9; 64-bit doc ids can be negative), which throws
+    under ANSI mode and silently keeps 100% of such rows otherwise
+    (negative hash < any threshold). ``pmod`` keeps negatives in range.
+    For ids < 2^31 the result is identical to the naive formula, which
+    is what the BIGINT-arithmetic SQL oracles compute.
+    """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return (c.cast("long") * F.lit(KNUTH)) % F.lit(M32)
+    h0 = F.pmod(c.cast("long"), F.lit(M32))
+    a = F.shiftright(h0, 16)  # h0 >= 0, so arithmetic shift == floor-div
+    b = h0.bitwiseAND(F.lit(0xFFFF))
+    # (a*2^16 + b) * K  ==  (a*K mod 2^16)*2^16 + b*K   (mod 2^32)
+    hi = F.pmod(a * F.lit(KNUTH), F.lit(1 << 16)) * F.lit(1 << 16)
+    return F.pmod(hi + b * F.lit(KNUTH), F.lit(M32))
 
 
 def sample_rate(df: DataFrame, id_col: str, rate: float) -> DataFrame:
@@ -51,7 +66,12 @@ def sample_rate(df: DataFrame, id_col: str, rate: float) -> DataFrame:
     return df.filter(knuth_hash(id_col) < F.lit(int(rate * M32)))
 
 
-def sample_weighted(df: DataFrame, id_col: str, weight_col: Column | str) -> DataFrame:
+def sample_weighted(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    on_null: str = "error",
+) -> DataFrame:
     """Keep each row with probability ``weight_col`` (per-row, in [0,1]),
     decided by hash threshold -- deterministic importance downsampling
     for corpus mixture reweighting ("keep 50% of en, 25% of low-quality,
@@ -60,11 +80,31 @@ def sample_weighted(df: DataFrame, id_col: str, weight_col: Column | str) -> Dat
     pure scan filter, no shuffle, stable under repartitioning, and a row
     kept at weight w stays kept at any weight >= w (nested mixtures).
 
+    A NULL weight (e.g. a key missing from the mixture table) is a data
+    bug, not a sampling decision: the default raises at evaluation time.
+    ``on_null``: "error" (default), "keep" (treat as 1.0), or "drop".
+    Out-of-range weights always raise -- a silent w>1 keep-all or w<0
+    drop-all would corrupt the mixture unnoticed.
+
     ``floor(w * 2^32)`` is the threshold on both the engine and oracle
     side -- floor, not cast, because SQL dialects disagree on
     double->int rounding (Spark truncates, DuckDB rounds half-even).
     """
+    if on_null not in ("error", "keep", "drop"):
+        raise ValueError(f"on_null must be error|keep|drop, got {on_null!r}")
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = w.cast("double")
+    bad = F.raise_error(
+        F.concat(F.lit("sample_weighted: weight out of [0, 1]: "), w.cast("string"))
+    )
+    w = F.when((w < 0.0) | (w > 1.0), bad).otherwise(w)
+    if on_null == "error":
+        w = F.coalesce(
+            w, F.raise_error(F.lit("sample_weighted: NULL weight (missing mixture key?)"))
+        )
+    elif on_null == "keep":
+        w = F.coalesce(w, F.lit(1.0))
+    # on_null == "drop": NULL propagates through the comparison -> filtered
     return df.filter(knuth_hash(id_col) < F.floor(w * F.lit(float(M32))))
 
 

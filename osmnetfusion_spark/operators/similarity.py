@@ -342,6 +342,8 @@ def ivf_topk(
     # work.) Value-preserving: the dot fold, the shared row norm, and
     # the Python-folded centroid norms perform the identical IEEE
     # operation sequences, pinned by the contract oracle + recall tests.
+    if not cents:
+        raise ValueError("empty codebook: centroids matched zero rows")
     bvecs = [[float(x) for x in r[vec_col]] for r in cents]
     dim = len(bvecs[0])
     if any(len(b) != dim for b in bvecs):

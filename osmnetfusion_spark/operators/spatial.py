@@ -106,9 +106,17 @@ def _input_bytes(df: DataFrame) -> int | float | None:
 
     total = 0
     for f in files:
+        parsed = _urlparse(f)
+        # Only LOCAL files are sizable here. A remote URI (s3a/hdfs/...)
+        # must read as unsizable by its scheme, not by hoping getsize
+        # fails: its bare path could coincidentally exist on the driver
+        # (shared mount, leftover warehouse) and a bogus local size
+        # would re-enable the broadcast hint for a planet-scale table.
+        if parsed.scheme not in ("", "file"):
+            return float("inf")
         # file:///p and file:/p both occur in Hadoop path renderings;
         # urlparse handles either (netloc empty, path '/p').
-        path = _urlparse(f).path if "://" in f or f.startswith("file:") else f
+        path = parsed.path if parsed.scheme == "file" else f
         try:
             total += _os.path.getsize(path)
         except OSError:

@@ -147,22 +147,31 @@ def range_interval_join(
     ps = F.col(point_ts).cast("long")
     s, e = F.col(start_ts).cast("long"), F.col(end_ts).cast("long")
 
-    # floor-div for possibly-negative epochs: Spark's / on longs is
-    # double division; use floor(x / w) via integral arithmetic
     def fdiv(c: Column) -> Column:
-        return F.floor(c / F.lit(w)).cast("long")
+        """Exact floor-div for the full signed-64 domain. `/` on longs is
+        DOUBLE division, which silently mis-buckets timestamps beyond
+        2^53 (nanosecond epochs); subtracting pmod first makes the
+        numerator exactly divisible and the decimal divide exact."""
+        r = F.pmod(c, F.lit(w))
+        return ((c - r).cast("decimal(38,0)") / F.lit(w)).cast("long")
 
     n_buckets = fdiv(e - F.lit(1)) - fdiv(s) + F.lit(1)
     guarded = intervals.withColumn("__nb", n_buckets)
-    # fail loudly, not silently: one assert-style filter on the explode
-    # bound (F.raise_error inside when() evaluates eagerly per row)
+    # Empty/inverted intervals (end <= start, so __nb < 1) get an empty
+    # bucket array -- zero candidates, matching half-open semantics --
+    # rather than feeding F.sequence a descending range (Spark steps -1
+    # and a corrupt far-past end would fan out millions of rows, the
+    # exact runaway the cap exists to stop). Oversized spans still fail
+    # loudly (raise_error inside when() evaluates lazily per row).
     iv = guarded.withColumn(
         "__b",
         F.explode(
-            F.when(
+            F.when(F.col("__nb") < 1, F.array().cast("array<long>"))
+            .when(
                 F.col("__nb") <= max_buckets_per_interval,
                 F.sequence(fdiv(s), fdiv(e - F.lit(1))),
-            ).otherwise(
+            )
+            .otherwise(
                 F.raise_error(
                     F.concat(
                         F.lit("interval spans "), F.col("__nb").cast("string"),

@@ -783,10 +783,16 @@ def split_edges_in_buffers(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     def find_splits(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            two_pt = pdf["geometry"].map(len) == 2
+            n_pts = pdf["geometry"].map(len)
+            two_pt = n_pts == 2
             if two_pt.any():
                 rows.extend(_split_fast_2pt(pdf[two_pt]))
-            multi = pdf[~two_pt]
+            # degenerate (<2-point) geometries are skipped: a 1-point
+            # "line" is a trivial ring (coords[0]==coords[-1], the
+            # reference's :534 skip) and a 0-point one has nothing to
+            # split -- routing them into the batch kernel would break
+            # its ragged reduceat partitioning
+            multi = pdf[n_pts >= 3]
             if len(multi):
                 rows.extend(_split_fast_multi(multi))
             yield pd.DataFrame(

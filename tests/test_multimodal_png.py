@@ -50,10 +50,16 @@ def test_oversized_image_rejects_fast():
     with pytest.raises(ValueError, match="max_pixels"):
         MM.decode_png(_huge_header_png())
     assert time.perf_counter() - t0 < 0.1  # header-time, not pixel-time
-    # raising the bound re-enables the path (guard, not a hard cap) --
-    # decode then proceeds past IHDR and fails on the empty IDAT instead
+    # one pixel short of the advertised size still trips the guard
     with pytest.raises(ValueError, match="max_pixels"):
         MM.decode_png(_huge_header_png(), max_pixels=65536 * 65536 - 1)
+    # raising the bound ABOVE the size re-enables the path (guard, not a
+    # hard cap): decode proceeds past IHDR and now fails inflating the
+    # empty IDAT instead of on the pixel bound
+    import zlib
+
+    with pytest.raises(zlib.error):
+        MM.decode_png(_huge_header_png(), max_pixels=65536 * 65536)
 
 
 def test_oversized_image_row_degrades_to_undecoded(spark):

@@ -70,6 +70,44 @@ def test_sample_weighted_rates_and_nesting(docs):
         docs.withColumn("w", F.lit(0.0)), "doc_id", "w").count() == 0
 
 
+def test_knuth_hash_large_and_negative_ids(spark):
+    """Overflow regression: ids >= ~3.47e9 (real OSM node ids) overflowed
+    the naive id*KNUTH under signed 64-bit; the split multiply must stay
+    in [0, 2^32) for the whole long domain and agree with Python's exact
+    arithmetic (and hence with the small-id oracle formula)."""
+    ids = [0, 1, 12_000_000_000, 3_474_652_830, 2**62, -1, -12_000_000_000]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.h
+        for r in df.select("doc_id", sampling.knuth_hash("doc_id").alias("h")).collect()
+    }
+    for i in ids:
+        want = ((i % sampling.M32) * sampling.KNUTH) % sampling.M32
+        assert got[i] == want, (i, got[i], want)
+        assert 0 <= got[i] < sampling.M32
+    # and the samplers accept such ids without ANSI overflow
+    assert sampling.sample_rate(df, "doc_id", 0.5).count() <= len(ids)
+
+
+def test_sample_weighted_null_and_range_handling(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "w": [0.5, None, 1.0]})
+    df = spark.createDataFrame(pdf)
+    # default: a NULL weight is a data bug -> evaluation-time error
+    with pytest.raises(Exception, match="NULL weight"):
+        sampling.sample_weighted(df, "doc_id", "w").count()
+    # explicit policies
+    kept = sampling.sample_weighted(df, "doc_id", "w", on_null="keep")
+    assert 2 in {r.doc_id for r in kept.collect()}
+    dropped = sampling.sample_weighted(df, "doc_id", "w", on_null="drop")
+    assert 2 not in {r.doc_id for r in dropped.collect()}
+    # out-of-range weights always raise
+    bad = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "w": [1.5]}))
+    with pytest.raises(Exception, match="out of"):
+        sampling.sample_weighted(bad, "doc_id", "w").count()
+    with pytest.raises(ValueError, match="on_null"):
+        sampling.sample_weighted(df, "doc_id", "w", on_null="ignore")
+
+
 def test_sample_per_group_exact_k_and_stable(docs):
     out = sampling.sample_per_group(docs, "domain", "doc_id", 50).toPandas()
     sizes = out.groupby("domain").size()

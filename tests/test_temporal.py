@@ -118,6 +118,41 @@ def test_range_interval_join_vs_bruteforce(spark):
     assert got == want and len(out) == len(got)  # exact set, no dupes
 
 
+def test_range_interval_join_inverted_and_empty_intervals(spark):
+    """Inverted (end < start) and empty (end == start) intervals must
+    yield zero candidates -- NOT a descending F.sequence fan-out that
+    bypasses the bucket cap (the pre-fix failure: one corrupt far-past
+    end exploded ~1e6 rows)."""
+    p = spark.createDataFrame(pd.DataFrame(
+        {"pid": [1, 2], "k": [0, 0], "ts_us": [5, 50]}
+    ))
+    i = spark.createDataFrame(pd.DataFrame({
+        "iid": [1, 2, 3],
+        "k": [0, 0, 0],
+        "start_us": [3_600_000_000_000_000, 40, 0],
+        "end_us": [0, 40, 100],  # inverted, empty, normal
+    }))
+    out = temporal.range_interval_join(
+        p, i, on="k", bucket_width=10, max_buckets_per_interval=100
+    ).toPandas()
+    assert set(zip(out.pid, out.iid)) == {(1, 3), (2, 3)}
+
+
+def test_range_interval_join_exact_buckets_beyond_double_precision(spark):
+    """fdiv must be exact integral floor-division: timestamps beyond
+    2^53 (nanosecond epochs) mis-bucket under double division and
+    silently drop matches."""
+    base = (1 << 60) + 7  # far beyond double's exact-integer range
+    p = spark.createDataFrame(pd.DataFrame(
+        {"pid": [1], "k": [0], "ts_us": [base + 5]}
+    ))
+    i = spark.createDataFrame(pd.DataFrame(
+        {"iid": [1], "k": [0], "start_us": [base], "end_us": [base + 100]}
+    ))
+    out = temporal.range_interval_join(p, i, on="k", bucket_width=1_000)
+    assert out.count() == 1
+
+
 def test_range_interval_join_explode_cap(spark):
     p = spark.createDataFrame(pd.DataFrame({"pid": [1], "k": [0], "ts_us": [5]}))
     i = spark.createDataFrame(
