@@ -58,6 +58,20 @@ def test_raw_hash_catches_hugeint_float_rendering():
     )
 
 
+def test_cli_help_renders():
+    """Regression: pre-formatting an argparse help string with % used to
+    collapse the escaped %% and crash --help with a TypeError."""
+    import pytest
+
+    sys.path.insert(0, "/root/repo")
+    from osmnetfusion_spark import cli
+
+    for args in (["pipeline", "--help"], ["--help"], ["snap", "--help"]):
+        with pytest.raises(SystemExit) as e:
+            cli.main(args)
+        assert e.value.code == 0
+
+
 def test_driver_window_rotation():
     """Every contract query with no prior driver-green round must sit inside
     the driver's sampling window (first 50 dict entries); queries rotated
