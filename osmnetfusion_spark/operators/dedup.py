@@ -19,7 +19,7 @@ scale the only shuffles are the groupBys/joins listed per function.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .textstats import (

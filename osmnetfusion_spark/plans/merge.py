@@ -22,12 +22,9 @@ Faithfulness notes (all verified against the reference source):
 
 from __future__ import annotations
 
-import math
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import folds

@@ -12,7 +12,6 @@ streaming surface a continuously-crawled pages/events corpus needs:
 
 from __future__ import annotations
 
-import datetime as dt
 from typing import Iterator
 
 import pandas as pd
