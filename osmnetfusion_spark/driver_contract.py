@@ -1430,6 +1430,36 @@ Q_SAMPLE_STRATIFIED_SQL = """
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level boilerplate-line removal (operators/dedup.line_dedup,
+    the CCNet/RefinedWeb step): with the synthetic docs, words act as
+    lines (sep=' ') and any token appearing in more than 30 of the 500
+    documents is "boilerplate"; each doc is reassembled from its
+    surviving tokens in original order. The oracle re-derives it with
+    lockstep unnest + an anti-join + ordered string_agg."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.line_dedup(d, max_df=30, sep=" ").orderBy("doc_id")
+
+
+Q_LINE_DEDUP_SQL = """
+  WITH ls AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+  lines AS (
+    SELECT doc_id, unnest(l) AS line, unnest(range(1, len(l) + 1)) AS pos
+    FROM ls),
+  nz AS (SELECT * FROM lines WHERE line <> ''),
+  bad AS (
+    SELECT line FROM (
+      SELECT line, count(DISTINCT doc_id) AS df FROM nz GROUP BY line) __c
+    WHERE df > 30),
+  keep AS (
+    SELECT nz.doc_id, nz.line, nz.pos
+    FROM nz LEFT JOIN bad b ON nz.line = b.line WHERE b.line IS NULL)
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_dedup,
+         CAST(count(*) AS BIGINT) AS n_lines_kept
+  FROM keep GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_weighted_sample(spark, sf_dir):
     """Mixture reweighting (operators/sampling.sample_weighted): keep
     50% of en, 25% of zh, all other languages -- per-row hash-threshold
@@ -3100,6 +3130,7 @@ QUERIES = {
     "q_sample_stratified": (q_sample_stratified, Q_SAMPLE_STRATIFIED_SQL),
     "q_pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "q_weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
+    "q_line_dedup": (q_line_dedup, Q_LINE_DEDUP_SQL),
     # -- group 3: one prior green round (r3 only) --------------------------
     "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
     "q_vocab_topk": (q_vocab_topk, Q_VOCAB_TOPK_SQL),

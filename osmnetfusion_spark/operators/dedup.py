@@ -459,3 +459,60 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 2,
+    sep: str = "\n",
+    join_sep: str | None = None,
+) -> DataFrame:
+    """Corpus-level line (boilerplate) removal, the CCNet/RefinedWeb
+    preprocessing step: drop every line whose document frequency exceeds
+    ``max_df`` (nav bars, cookie banners, footers repeat across a site;
+    real content doesn't), then reassemble each document's surviving
+    lines in their original order.
+
+    ``sep`` is a split REGEX (default newline); ``join_sep`` is the
+    literal put between surviving lines on reassembly (defaults to
+    ``sep`` when that is a plain literal, else a space). Empty lines
+    are ignored for both counting and reassembly.
+
+    Scale shape: the df-count is one groupBy over distinct (line, doc)
+    pairs, and the removal join is a LEFT ANTI against only the
+    OFFENDING lines (df > max_df) -- at corpus scale the boilerplate set
+    is tiny relative to the line universe, so the anti-join build side
+    broadcasts instead of shuffling every line against its count.
+    Reassembly is one grouped sort_array over (pos, line) structs.
+    Documents whose every line is boilerplate drop out of the result.
+    """
+    lines = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    ).filter(F.col("line") != "")
+    bad = (
+        lines.select("line", id_col)
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(bad), "line", "left_anti")
+    if join_sep is None:
+        join_sep = sep if sep.isspace() or sep.isalnum() else " "
+    joiner = join_sep
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda x: x["line"],
+                ),
+                joiner,
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+    )

@@ -221,3 +221,30 @@ def test_ann_ivf_codebook_cap(spark):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="max_centroids"):
         similarity.ivf_topk(e, e.limit(1), e, max_centroids=3)
+
+
+def test_line_dedup_boilerplate_removal(spark):
+    """Crafted corpus: a cookie banner + footer repeat across all docs
+    (df=4 > max_df=2) and must vanish; unique content lines survive in
+    original order; doc 3 (all boilerplate) drops out entirely; empty
+    lines are ignored."""
+    from osmnetfusion_spark.operators import dedup
+
+    banner, footer = "ACCEPT COOKIES", "(c) example.com"
+    rows = [
+        (0, f"{banner}\nalpha one\n\nbeta two\n{footer}"),
+        (1, f"{banner}\ngamma three\n{footer}"),
+        (2, f"{banner}\ndelta four\nalpha one\n{footer}"),
+        (3, f"{banner}\n{footer}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.line_dedup(df, max_df=2, sep="\n").collect()
+    }
+    assert set(out) == {0, 1, 2}  # doc 3 was pure boilerplate
+    assert out[0].text_dedup == "alpha one\nbeta two"
+    assert out[0].n_lines_kept == 2
+    assert out[1].text_dedup == "gamma three"
+    # 'alpha one' appears in 2 docs == max_df -> kept
+    assert out[2].text_dedup == "delta four\nalpha one"
