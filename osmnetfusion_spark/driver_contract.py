@@ -1430,6 +1430,33 @@ Q_SAMPLE_STRATIFIED_SQL = """
 """
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """Adjacent-token-pair frequency head (operators/textstats.
+    bpe_pair_counts) -- the counting step of one BPE merge iteration.
+    The engine zips shifted array slices column-side; the oracle
+    re-derives pairs with a positional self-join over lockstep-unnested
+    tokens. Explicit (cnt desc, pair asc) total order."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.bpe_pair_counts(d, k=50).orderBy("rank")
+
+
+Q_BPE_PAIRS_SQL = """
+  WITH ls AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  toks AS (
+    SELECT doc_id, unnest(w) AS tok, unnest(range(1, len(w) + 1)) AS pos
+    FROM ls),
+  pairs AS (
+    SELECT a.tok || ' ' || b.tok AS pair
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok <> '' AND b.tok <> '')
+  SELECT pair, cnt, CAST(rank AS INT) AS rank FROM (
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt,
+           row_number() OVER (ORDER BY count(*) DESC, pair ASC) AS rank
+    FROM pairs GROUP BY pair) __t
+  WHERE rank <= 50 ORDER BY rank
+"""
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-level boilerplate-line removal (operators/dedup.line_dedup,
     the CCNet/RefinedWeb step): with the synthetic docs, words act as
@@ -3131,6 +3158,7 @@ QUERIES = {
     "q_pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "q_weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
     "q_line_dedup": (q_line_dedup, Q_LINE_DEDUP_SQL),
+    "q_bpe_pairs": (q_bpe_pairs, Q_BPE_PAIRS_SQL),
     # -- group 3: one prior green round (r3 only) --------------------------
     "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
     "q_vocab_topk": (q_vocab_topk, Q_VOCAB_TOPK_SQL),

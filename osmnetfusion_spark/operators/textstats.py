@@ -13,7 +13,7 @@ be checked value-for-value.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 POLY_MOD = 1_000_000_007
@@ -278,3 +278,41 @@ def repetition_stats_sql(text: str) -> dict[str, str]:
         f" * 1.0 / length(g), 6) ELSE 0.0 END FROM (SELECT {grams} AS g) __g)"
     )
     return {"dup_line_frac": f"CAST({dup} AS DOUBLE)", "top_bigram_frac": f"CAST({top} AS DOUBLE)"}
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    delim: str = " ",
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies: the counting step of
+    one BPE merge iteration (the most frequent pair is the next merge).
+
+    Pairs are built column-side -- two shifted slices of the token array
+    zipped together -- so the explode is one narrow (pair) column and
+    the count is the same map-side-combinable hash groupBy as
+    :func:`vocab_topk`: each partition emits one partial row per
+    distinct local pair, so hot pairs ("of the") never concentrate rows
+    on one reducer. Top-k orders by (count desc, pair asc) -- explicit
+    total order, deterministic ties.
+    """
+    toks = F.split(F.col(text_col), delim)
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("t1"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("t2"),
+    )
+    exploded = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .filter((F.col("t1") != "") & (F.col("t2") != ""))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return (
+        exploded.groupBy(F.concat_ws(" ", "t1", "t2").alias("pair"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("pair", "cnt", F.col("rank").cast("int").alias("rank"))
+    )
