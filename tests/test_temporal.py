@@ -171,3 +171,19 @@ def test_asof_join_bad_direction(spark):
             spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
             on="k", direction="nearest",
         )
+
+
+@pytest.mark.parametrize("seed", [13, 29, 71])
+def test_asof_join_matches_pandas_more_seeds(spark, seed):
+    """Extra seeds over the duplicate-timestamp generator: the fixed-seed
+    equivalence above could in principle miss a tiebreak regime."""
+    lpdf, rpdf = _mk(spark, seed=seed, n_l=250, n_r=180)
+    out = temporal.asof_join(
+        spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+        on="k", right_cols=["rid"], seq_col="rid",
+    ).toPandas()
+    got = {
+        int(r.lid): (None if pd.isna(r.asof_rid) else int(r.asof_rid))
+        for r in out.itertuples()
+    }
+    assert got == _merge_asof_twin(lpdf, rpdf, "backward")

@@ -73,3 +73,14 @@ def test_sample_rate_is_pushed_scan_filter(spark):
     plan = _plan(sampling.sample_rate(d, "doc_id", 0.25).select("doc_id"))
     assert "Exchange" not in plan, plan
     assert "Filter" in plan
+
+
+def test_line_dedup_removal_is_broadcast_anti_join(spark):
+    """line_dedup's scale property: the offending-lines set (tiny at
+    corpus scale) must arrive as a broadcast LEFT ANTI build side -- the
+    line universe is never shuffled against its counts."""
+    from osmnetfusion_spark.operators import dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dedup.line_dedup(d, max_df=5, sep=" "))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
