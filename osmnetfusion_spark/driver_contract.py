@@ -1590,6 +1590,48 @@ Q_ASOF_JOIN_SQL = """
 """
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of: each error event picks up the EARLIEST purchase of
+    the same user at-or-after it (ties -> smallest event_id) -- the
+    negated-timestamp mirror of q_asof_join, driver-verifying the
+    direction="forward" branch against an independent oracle."""
+    e = _t(spark, sf_dir, "events")
+    l = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    r = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    )
+    out = temporal.asof_join(
+        l, r, on="user_id", right_cols=["event_id"], seq_col="event_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.col("asof_event_id").alias("next_event_id"),
+        (F.col("asof_ts_us") - F.col("ts_us")).alias("lead_us"),
+    ).orderBy("event_id")
+
+
+Q_ASOF_FORWARD_SQL = """
+  WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+             FROM events WHERE event_type = 'error'),
+       r AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+             FROM events WHERE event_type = 'purchase')
+  SELECT event_id, user_id, ts_us, next_event_id, lead_us FROM (
+    SELECT l.event_id, l.user_id, l.ts_us,
+           r.event_id AS next_event_id,
+           r.ts_us - l.ts_us AS lead_us,
+           row_number() OVER (PARTITION BY l.event_id
+                              ORDER BY r.ts_us ASC, r.event_id ASC) AS rn
+    FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts_us >= l.ts_us) __t
+  WHERE rn = 1 ORDER BY event_id
+"""
+
+
 def q_range_join(spark, sf_dir):
     """Interval join (operators/temporal.range_interval_join): signup
     events open a 2-hour half-open window; purchases of the same user
@@ -3153,6 +3195,7 @@ QUERIES = {
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_extract_text": (q_extract_text, Q_EXTRACT_TEXT_SQL),
     "q_asof_join": (q_asof_join, Q_ASOF_JOIN_SQL),
+    "q_asof_forward": (q_asof_forward, Q_ASOF_FORWARD_SQL),
     "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
     "q_sample_stratified": (q_sample_stratified, Q_SAMPLE_STRATIFIED_SQL),
     "q_pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
