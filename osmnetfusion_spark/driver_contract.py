@@ -1417,15 +1417,27 @@ def q_sample_stratified(spark, sf_dir):
     ).orderBy("lang", "doc_id")
 
 
-Q_SAMPLE_STRATIFIED_SQL = """
+def _knuth_sql(col: str) -> str:
+    """DuckDB twin of sampling.knuth_hash with the SAME split-multiply:
+    the naive ``(id * 2654435761) % 2^32`` overflows BIGINT for ids >=
+    ~3.47e9 and disagrees with pmod on negative ids -- exactly the id
+    domains the engine's hash was hardened for -- so the oracle mirrors
+    the split arithmetic bit-for-bit (max intermediate < 2^49)."""
+    h0 = f"(((({col}) % 4294967296) + 4294967296) % 4294967296)"
+    return (
+        f"(({h0} // 65536 * 2654435761) % 65536 * 65536"
+        f" + ({h0} % 65536) * 2654435761) % 4294967296"
+    )
+
+
+Q_SAMPLE_STRATIFIED_SQL = f"""
   SELECT doc_id, lang, sample_key FROM (
-    SELECT doc_id, lang,
-           (doc_id * 2654435761) % 4294967296 AS sample_key,
+    SELECT doc_id, lang, sample_key,
            row_number() OVER (
-             PARTITION BY lang
-             ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC
+             PARTITION BY lang ORDER BY sample_key ASC, doc_id ASC
            ) AS rn
-    FROM documents) __t
+    FROM (SELECT doc_id, lang, {_knuth_sql('doc_id')} AS sample_key
+          FROM documents) __k) __t
   WHERE rn <= 40 ORDER BY lang, doc_id
 """
 
@@ -1504,13 +1516,13 @@ def q_weighted_sample(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-Q_WEIGHTED_SAMPLE_SQL = """
+Q_WEIGHTED_SAMPLE_SQL = f"""
   SELECT doc_id, lang, weight FROM (
     SELECT doc_id, lang,
            CASE WHEN lang = 'en' THEN CAST(0.5 AS DOUBLE)
                 WHEN lang = 'zh' THEN CAST(0.25 AS DOUBLE)
                 ELSE CAST(1.0 AS DOUBLE) END AS weight,
-           (doc_id * 2654435761) % 4294967296 AS h
+           {_knuth_sql('doc_id')} AS h
     FROM documents) __t
   WHERE h < floor(weight * 4294967296.0)
   ORDER BY doc_id
@@ -1534,7 +1546,9 @@ def q_pack_sequences(spark, sf_dir):
 
 Q_PACK_SEQUENCES_SQL = """
   SELECT doc_id, lang, n_chars,
-         CAST(floor(run_before / 20000) AS BIGINT) AS pack_id,
+         -- integer // (exact on BIGINT), not floor(double /): matches the
+         -- engine's pmod+decimal floor-div past 2^53 running sums
+         CAST(run_before // 20000 AS BIGINT) AS pack_id,
          CAST(run_before % 20000 AS BIGINT) AS pack_offset
   FROM (
     SELECT doc_id, lang, n_chars,

@@ -482,9 +482,14 @@ def line_dedup(
 
     Scale shape: the df-count is one groupBy over distinct (line, doc)
     pairs, and the removal join is a LEFT ANTI against only the
-    OFFENDING lines (df > max_df) -- at corpus scale the boilerplate set
-    is tiny relative to the line universe, so the anti-join build side
-    broadcasts instead of shuffling every line against its count.
+    OFFENDING lines (df > max_df). The offending-line set is
+    DATA-DEPENDENT AND UNBOUNDED -- every site contributes its own
+    nav/footer boilerplate, so with a small ``max_df`` it grows with
+    the number of sites, not with a fixed dictionary -- therefore the
+    join strategy is deliberately left to AQE (no forced broadcast
+    hint): at runtime AQE broadcasts when the counted set is genuinely
+    small and falls back to a shuffled anti-join on the ``line`` key
+    when it is not, instead of OOMing executors on a forced broadcast.
     Reassembly is one grouped sort_array over (pos, line) structs.
     Documents whose every line is boilerplate drop out of the result.
     """
@@ -499,7 +504,7 @@ def line_dedup(
         .filter(F.col("df") > max_df)
         .select("line")
     )
-    kept = lines.join(F.broadcast(bad), "line", "left_anti")
+    kept = lines.join(bad, "line", "left_anti")
     if join_sep is None:
         join_sep = sep if sep.isspace() or sep.isalnum() else " "
     joiner = join_sep

@@ -147,7 +147,21 @@ def decode_png(
         raise ValueError("PNG missing IHDR")
     nch = 1 if ctype == 0 else 3
     stride = w * nch
-    raw = zlib.decompress(idat)
+    # Bounded inflate: the expected raw size is exactly h*(stride+1)
+    # (one filter byte per scanline). A crafted "1x1" PNG carrying a
+    # multi-GB compressed IDAT (decompression bomb) must not inflate
+    # past the already-validated pixel budget, so decompress with a
+    # hard max_length and reject if the stream holds more.
+    expected = h * (stride + 1)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(idat, expected)
+    if dec.decompress(dec.unconsumed_tail, 1) or dec.flush(1):
+        raise ValueError(
+            f"PNG IDAT inflates past the {w}x{h} pixel budget "
+            f"({expected} raw bytes) -- rejecting as a decompression bomb"
+        )
+    if len(raw) < expected:
+        raise ValueError("PNG IDAT truncated (inflated shorter than h*(stride+1))")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=int)
     p = 0

@@ -156,11 +156,25 @@ def pack_sequences(
 
     With ``pack_keys`` the packing is per group (e.g. per language);
     one shuffle on the pack keys, cumulative window, no driver state.
+    ``pack_keys=None`` plans a GLOBAL cumulative window -- one task
+    sorts the whole input -- which is only sane for bounded per-group
+    frames; at corpus scale always pass keys. The None path warns
+    loudly so a silent single-task sort never ships by accident.
     """
     keys = (
         [pack_keys] if isinstance(pack_keys, str)
         else list(pack_keys) if pack_keys else []
     )
+    if not keys:
+        import warnings
+
+        warnings.warn(
+            "pack_sequences(pack_keys=None) plans a single-partition global "
+            "window (one task sorts ALL rows) -- pass pack_keys (e.g. lang or "
+            "a shard column) for any unbounded input",
+            ResourceWarning,
+            stacklevel=2,
+        )
     if order == "length_desc":
         by = [F.col(len_col).desc(), F.col(id_col).asc()]
     elif order == "hash":
@@ -173,8 +187,15 @@ def pack_sequences(
     )
     run = F.sum(F.col(len_col).cast("long")).over(w)
     before = run - F.col(len_col).cast("long")
+    # Exact integer floor-div (same idiom as temporal.range_interval_join's
+    # fdiv): `/` on longs is double division, which rounds the quotient
+    # once the running sum passes 2^53 and mis-assigns packs. Subtracting
+    # pmod first makes the numerator exactly divisible and the
+    # decimal(38,0) divide exact over the full signed-64 domain.
+    off = F.pmod(before, F.lit(int(budget)))
+    pid = ((before - off).cast("decimal(38,0)") / F.lit(int(budget))).cast("long")
     return df.select(
         "*",
-        F.floor(before / F.lit(int(budget))).cast("long").alias("pack_id"),
-        (before % F.lit(int(budget))).alias("pack_offset"),
+        pid.alias("pack_id"),
+        off.cast("long").alias("pack_offset"),
     )

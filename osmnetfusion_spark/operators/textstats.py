@@ -294,8 +294,14 @@ def bpe_pair_counts(
     the count is the same map-side-combinable hash groupBy as
     :func:`vocab_topk`: each partition emits one partial row per
     distinct local pair, so hot pairs ("of the") never concentrate rows
-    on one reducer. Top-k orders by (count desc, pair asc) -- explicit
-    total order, deterministic ties.
+    on one reducer. The top-k is ``orderBy(...).limit(k)`` -- Spark's
+    TakeOrderedAndProject, a distributed partial top-k where every
+    partition keeps only its local k candidates -- NOT a global
+    ``row_number`` window, which would funnel the entire distinct-pair
+    table (~vocab^2 rows at corpus scale) through one sort task. The
+    rank column is then derived by a window over just the k survivors
+    (bounded work by construction). (count desc, pair asc) is an
+    explicit total order, so ties are deterministic.
     """
     toks = F.split(F.col(text_col), delim)
     n = F.size(toks)
@@ -308,11 +314,14 @@ def bpe_pair_counts(
         .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
         .filter((F.col("t1") != "") & (F.col("t2") != ""))
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
-    return (
+    topk = (
         exploded.groupBy(F.concat_ws(" ", "t1", "t2").alias("pair"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
         .select("pair", "cnt", F.col("rank").cast("int").alias("rank"))
     )

@@ -52,8 +52,17 @@ def resolve_barriers(barriers: str, snap, edges: DataFrame) -> str:
       every step boundary committed, and the audit's 12% is a local-mode
       localCheckpoint-I/O effect that doesn't apply to durable stages;
     - otherwise "phase" when the input exceeds
-      :data:`AUTO_PHASE_EDGE_THRESHOLD` edges (one cheap count on the
-      checkpointed enrichment output), else "operator".
+      :data:`AUTO_PHASE_EDGE_THRESHOLD` edges, else "operator".
+
+    The edge count is only taken when ``edges`` is a MATERIALIZED root
+    (a localCheckpoint'd LogicalRDD or a bare file scan — both count in
+    metadata time; ``run_full`` always hands over the checkpointed
+    enrichment output, so this is the normal path). A caller invoking
+    this directly with a lazy multi-stage plan would otherwise pay a
+    full upstream recomputation just to pick a barrier mode (ADVICE
+    r4), so an un-countable input resolves straight to "phase" — the
+    at-scale-safe choice; the two modes differ only in how many
+    intermediates materialize, never in output.
     """
     if barriers != "auto":
         if barriers not in ("operator", "phase"):
@@ -61,6 +70,17 @@ def resolve_barriers(barriers: str, snap, edges: DataFrame) -> str:
         return barriers
     if snap is not None:
         return "operator"
+    try:
+        plan = edges._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        plan = ""
+    root = plan.splitlines()[0] if plan else ""
+    cheap = ("LogicalRDD" in root) or (
+        root.lstrip().startswith(("Relation", "Range", "LocalRelation"))
+        and len(plan.splitlines()) <= 2
+    )
+    if not cheap:
+        return "phase"
     return "phase" if edges.count() >= AUTO_PHASE_EDGE_THRESHOLD else "operator"
 
 

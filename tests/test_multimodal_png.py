@@ -54,12 +54,57 @@ def test_oversized_image_rejects_fast():
     with pytest.raises(ValueError, match="max_pixels"):
         MM.decode_png(_huge_header_png(), max_pixels=65536 * 65536 - 1)
     # raising the bound ABOVE the size re-enables the path (guard, not a
-    # hard cap): decode proceeds past IHDR and now fails inflating the
-    # empty IDAT instead of on the pixel bound
-    import zlib
-
-    with pytest.raises(zlib.error):
+    # hard cap): decode proceeds past IHDR and now fails on the empty
+    # IDAT (inflates to zero bytes, far short of h*(stride+1))
+    with pytest.raises(ValueError, match="truncated"):
         MM.decode_png(_huge_header_png(), max_pixels=65536 * 65536)
+
+
+def test_decompression_bomb_rejected_bounded():
+    """ADVICE r4: a PNG declaring tiny dimensions but carrying a highly
+    compressed multi-MB IDAT must reject WITHOUT inflating the whole
+    stream into memory -- the inflate is bounded at h*(stride+1)."""
+    import struct
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    # 64 MiB of zeros compresses to ~64 KiB; a 1x1 gray PNG needs 2 raw bytes
+    bomb = _z.compress(b"\x00" * (64 << 20), 9)
+    blob = (
+        MM.PNG_SIG
+        + MM._chunk(b"IHDR", ihdr)
+        + MM._chunk(b"IDAT", bomb)
+        + MM._chunk(b"IEND", b"")
+    )
+    import time, tracemalloc
+
+    tracemalloc.start()
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="decompression bomb"):
+        MM.decode_png(blob)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # the 64 MiB payload must never have materialized
+    assert peak < 8 << 20, f"inflated {peak} bytes for a 1x1 bomb"
+    assert time.perf_counter() - t0 < 1.0
+
+
+def test_trailing_garbage_after_deflate_rejected():
+    """Extra compressed data past the exact pixel budget also trips the
+    bomb guard (stream holds more than h*(stride+1) raw bytes)."""
+    import struct
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    # 2x2 gray needs 2*(2+1)=6 raw bytes; supply 7
+    blob = (
+        MM.PNG_SIG
+        + MM._chunk(b"IHDR", ihdr)
+        + MM._chunk(b"IDAT", _z.compress(b"\x00" * 7))
+        + MM._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decompression bomb"):
+        MM.decode_png(blob)
 
 
 def test_oversized_image_row_degrades_to_undecoded(spark):

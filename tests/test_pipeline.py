@@ -125,3 +125,17 @@ def test_resolve_barriers(spark, result):
     assert pipeline.resolve_barriers("operator", None, big) == "operator"
     with pytest.raises(ValueError, match="unknown barriers"):
         pipeline.resolve_barriers("bogus", None, small)
+
+
+def test_resolve_barriers_lazy_plan_never_counts(spark):
+    """ADVICE r4: a lazy multi-stage plan must not pay a full upstream
+    recomputation just to pick the barrier mode -- auto resolves it to
+    'phase' (the at-scale-safe mode) without running any job."""
+    boom = F.udf(lambda x: (_ for _ in ()).throw(RuntimeError("job ran")))
+    lazy = (
+        spark.range(100_000)
+        .withColumn("y", boom("id"))
+        .groupBy("y").count()
+    )
+    # would raise if resolve_barriers executed the plan
+    assert pipeline.resolve_barriers("auto", None, lazy) == "phase"

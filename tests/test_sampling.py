@@ -158,3 +158,62 @@ def test_pack_sequences_order_modes_differ(docs):
     )
     with pytest.raises(ValueError, match="order"):
         sampling.pack_sequences(docs, "n_tokens", "doc_id", 8192, order="random")
+
+
+def test_knuth_oracle_sql_matches_engine_on_hard_ids(spark):
+    """ADVICE r4: the contract oracle's hash SQL must agree with the
+    engine on the id domains the engine was hardened for (>= 3.47e9,
+    negative) -- the naive (id*K) % 2^32 overflows BIGINT in DuckDB
+    there, silently invalidating the contract if the fixture grows."""
+    import duckdb
+
+    from osmnetfusion_spark.driver_contract import _knuth_sql
+
+    ids = [0, 1, 7, 3_474_652_830, 12_000_000_000, 2**62, -1, -12_000_000_000]
+    con = duckdb.connect()
+    got_sql = {
+        i: con.execute(f"SELECT {_knuth_sql(str(i))}").fetchone()[0] for i in ids
+    }
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got_engine = {
+        r.doc_id: r.h
+        for r in df.select("doc_id", sampling.knuth_hash("doc_id").alias("h")).collect()
+    }
+    for i in ids:
+        want = ((i % sampling.M32) * sampling.KNUTH) % sampling.M32
+        assert got_sql[i] == want == got_engine[i], (i, got_sql[i], got_engine[i], want)
+
+
+def test_pack_sequences_exact_past_2_53(spark):
+    """ADVICE r4: pack_id must use exact integer floor-div -- double
+    division rounds the quotient once the running sum passes 2^53 and
+    mis-assigns packs. Lengths ~2^52 push the running sum past 2^55."""
+    import pandas as pd
+
+    n, length, budget = 12, 1 << 52, 3_000_001
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(n), "n_tok": [length] * n})
+    )
+    out = (
+        sampling.pack_sequences(df, "n_tok", "doc_id", budget, pack_keys=None,
+                                order="hash")
+        .orderBy("doc_id").collect()
+    )
+    # exact python reference over the same layout order
+    order = sorted(range(n), key=lambda i: (((i % sampling.M32) * sampling.KNUTH) % sampling.M32, i))
+    before, want = 0, {}
+    for i in order:
+        want[i] = (before // budget, before % budget)
+        before += length
+    for r in out:
+        assert (r.pack_id, r.pack_offset) == want[r.doc_id], (r, want[r.doc_id])
+
+
+def test_pack_sequences_global_window_warns(spark):
+    """pack_keys=None plans a single-task global sort; the footgun must
+    warn loudly (VERDICT r4 #5)."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2], "n_tok": [3, 4]}))
+    with pytest.warns(ResourceWarning, match="single-partition global"):
+        sampling.pack_sequences(df, "n_tok", "doc_id", 8, pack_keys=None)

@@ -75,12 +75,34 @@ def test_sample_rate_is_pushed_scan_filter(spark):
     assert "Filter" in plan
 
 
-def test_line_dedup_removal_is_broadcast_anti_join(spark):
-    """line_dedup's scale property: the offending-lines set (tiny at
-    corpus scale) must arrive as a broadcast LEFT ANTI build side -- the
-    line universe is never shuffled against its counts."""
+def test_line_dedup_removal_has_no_forced_broadcast(spark):
+    """line_dedup's scale property: the offending-lines set is
+    data-dependent and unbounded (it grows with site count at small
+    max_df), so the LEFT ANTI join must carry NO forced broadcast hint
+    -- AQE picks broadcast vs shuffle from the runtime size. The pin:
+    LeftAnti present, zero ResolvedHint/broadcast hints in the
+    optimized logical plan."""
     from osmnetfusion_spark.operators import dedup
 
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    plan = _plan(dedup.line_dedup(d, max_df=5, sep=" "))
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    out = dedup.line_dedup(d, max_df=5, sep=" ")
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical, logical
+    plan = _plan(out)
+    assert "LeftAnti" in plan, plan
+
+
+def test_bpe_pair_counts_topk_is_take_ordered(spark):
+    """bpe_pair_counts' scale property: the corpus-wide top-k must plan
+    as TakeOrderedAndProject (distributed partial top-k) -- never a
+    global row_number window that sorts the entire distinct-pair table
+    (~vocab^2 rows) in one task. Any SinglePartition exchange may appear
+    only ABOVE the TakeOrdered (the bounded k-row rank window), never
+    below it on the unbounded side."""
+    from osmnetfusion_spark.operators import textstats
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.bpe_pair_counts(d, k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    below = plan[plan.index("TakeOrderedAndProject"):]
+    assert "Exchange SinglePartition" not in below, plan
