@@ -85,6 +85,8 @@ def main() -> None:
         v.count()
     pages_raw = synth.pages(spark, n_pages, city_scale=scale).localCheckpoint()
     pages_raw.count()
+    snaps_tbl = synth.license_snapshots(spark).localCheckpoint()
+    snaps_tbl.count()
 
     times: dict[str, list[float]] = {
         "simplify_full": [], "page_snap": [], "tile_assignment": []}
@@ -95,7 +97,10 @@ def main() -> None:
         times["simplify_full"].append(time.time() - t0)
 
         t0 = time.time()
-        pg = PG.dedupe_latest(pages_raw)
+        # dedupe -> license as-of (temporal enrichment, VERDICT r4 #8) -> snap
+        pg = PG.attach_license_asof(
+            PG.dedupe_latest(pages_raw), snaps_tbl
+        ).drop("lic_snap_ts_matched")
         segs = spatial.explode_segments(
             final_edges.select(F.col("g_id").alias("edge_id"), F.col("g_geo_rea").alias("geometry"))
         ).select("edge_id", "seg_idx", "ax", "ay", "bx", "by").localCheckpoint()
@@ -123,12 +128,14 @@ def main() -> None:
         t16 = {k: v.localCheckpoint() for k, v in synth.city_to_spark(spark, city16).items()}
         for v in t16.values():
             v.count()
-        # min-of-2: a single pass drew a 1.5x-noisy window in the r4
-        # record (164.7 s vs 138.7 s quiet) -- same protocol as the
-        # per-query vector, self-documented via the noise entry
+        # min-of-3 (was min-of-2): the r4 driver window recorded 111 s
+        # with noise 1.01 -- i.e. BOTH passes slow, so the min never saw
+        # a quiet slot even though the same commit ran 81.5 s in a quiet
+        # builder window. A third pass widens the odds of catching one;
+        # the full runs list is recorded for root-cause visibility.
         runs16 = []
         n_out16 = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             _n16, e16 = pipeline.run_full(spark, t16)
             n_out = e16.count()
@@ -141,6 +148,7 @@ def main() -> None:
         extras["pipeline_scale16_output_edges"] = n_out16
         extras["pipeline_scale16_input_edges_per_sec"] = round(n_in16 / max(sec16, 1e-9), 1)
         extras["pipeline_scale16_noise_ratio"] = round(max(runs16) / max(sec16, 1e-9), 2)
+        extras["pipeline_scale16_runs"] = [round(r, 1) for r in runs16]
 
     # ---- representative operator queries on the driver tables
     # Quiet-window protocol (VERDICT r2 #5): the sandbox VM shares a
@@ -167,29 +175,30 @@ def main() -> None:
     total = round(sum(queries.values()), 3)
     flagship_rows = n_edges + n_snapped + n_tiles
     flagship_sec = queries["simplify_full"] + queries["page_snap"] + queries["tile_assignment"]
-    print(
-        json.dumps(
-            {
-                "metric": "simplified-edges+tile-assignments e2e",
-                "value": total,
-                "unit": "sec",
-                "flagship_sec": round(flagship_sec, 3),
-                "contract_sec": round(total - flagship_sec, 3),
-                "n_contract_queries": len(names),
-                "queries": queries,
-                "sf": sf,
-                "n_pages": n_pages,
-                "n_simplified_edges": n_edges,
-                "n_snapped_pages": n_snapped,
-                "n_tile_edge_rows": n_tiles,
-                "flagship_rows": flagship_rows,
-                "flagship_throughput_rows_per_sec": round(flagship_rows / max(flagship_sec, 1e-9), 1),
-                "noise_ratio": noise,
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-                **extras,
-            }
-        )
-    )
+    # The driver keeps only the TAIL of stdout (VERDICT r4 #4: r04's
+    # flagship fields were truncated away behind the 74-entry dicts), so
+    # the big per-query dicts print FIRST inside the full record and the
+    # headline scalars LAST -- and a compact headline-only JSON line is
+    # printed at the very end so the tail always parses on its own.
+    headline = {
+        "metric": "simplified-edges+tile-assignments e2e",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_contract_queries": len(names),
+        "contract_sec": round(total - flagship_sec, 3),
+        "n_pages": n_pages,
+        "n_simplified_edges": n_edges,
+        "n_snapped_pages": n_snapped,
+        "n_tile_edge_rows": n_tiles,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        **extras,
+        "flagship_rows": flagship_rows,
+        "flagship_sec": round(flagship_sec, 3),
+        "flagship_throughput_rows_per_sec": round(flagship_rows / max(flagship_sec, 1e-9), 1),
+    }
+    print(json.dumps({"queries": queries, "noise_ratio": noise, **headline}))
+    print(json.dumps(headline))
     spark.stop()
 
 

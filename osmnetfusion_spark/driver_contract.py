@@ -3171,6 +3171,131 @@ Q_CORPUS_CURATION_SQL = f"""
 """
 
 
+def q_license_asof(spark, sf_dir):
+    """The as-of join as a PIPELINE CONSUMER (VERDICT r4 #8): every page
+    picks up its site's latest license/robots snapshot at-or-before its
+    crawl timestamp (plans/pages.attach_license_asof over
+    synth.license_snapshots). Pages crawled before their site's first
+    snapshot keep NULL license (LEFT semantics). All comparisons on
+    exact microsecond longs; the oracle rebuilds the same snapshot set
+    with generate_series and re-derives the match as a row_number over
+    an explicit inequality join -- a completely different plan."""
+    from . import synth
+    from .plans import pages as PG
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    pg = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("https://example.test/"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit("/page-"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+            + F.make_interval(secs=((F.col("doc_id") * 337) % 172_800).cast("double"))
+        ).alias("warc_ts"),
+    )
+    out = PG.attach_license_asof(pg, synth.license_snapshots(spark))
+    return out.select(
+        "doc_id",
+        PG.site_of_url(F.col("url")).alias("site"),
+        F.unix_micros(F.col("lic_snap_ts_matched")).alias("snap_us"),
+        F.col("lic_license").alias("license"),
+        # stringified, not boolean: a NULL BOOLEAN renders None in a Spark
+        # toPandas fetch but NaN in DuckDB's rel.df() -- the one NULL type
+        # the driver's raw stringify can't compare (floats are nan/nan,
+        # strings None/None). 'true'/'false'/NULL round-trips identically.
+        F.col("lic_robots_disallow").cast("string").alias("robots_disallow"),
+    ).orderBy("doc_id")
+
+
+Q_LICENSE_ASOF_SQL = """
+  WITH pg AS (
+    SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS site,
+           epoch_us(TIMESTAMP '2025-01-01 00:00:00')
+             + (doc_id * 337) % 172800 * 1000000 AS us
+    FROM documents WHERE doc_id < 2000),
+  sn AS (
+    SELECT CAST(s AS VARCHAR) AS site,
+           epoch_us(TIMESTAMP '2024-12-31 12:00:00')
+             + k * 18 * 3600 * 1000000 AS us,
+           ['all-rights-reserved','cc-by','cc-by-sa','public-domain']
+             [CAST((7*s + k) % 4 AS INTEGER) + 1] AS license,
+           CAST((s + k) % 10 = 0 AS VARCHAR) AS robots_disallow
+    FROM (SELECT r1.range AS s, r2.range AS k
+          FROM range(0, 97) r1, range(0, 4) r2) __g
+    WHERE NOT (s % 13 = 7 AND k = 0) AND NOT (s % 5 = 0 AND k > 0)),
+  best AS (
+    SELECT pg.doc_id, pg.site, sn.us AS snap_us, sn.license,
+           sn.robots_disallow,
+           row_number() OVER (
+             PARTITION BY pg.doc_id ORDER BY sn.us DESC) AS rn
+    FROM pg LEFT JOIN sn ON pg.site = sn.site AND sn.us <= pg.us)
+  SELECT doc_id, site, snap_us, license, robots_disallow
+  FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Iterative BPE merge training (operators/textstats.bpe_train,
+    VERDICT r4 #7): 4 full count->argmax->apply rounds over the evolving
+    token arrays of the en documents. Genuinely iterative (each round's
+    counts depend on the previous round's merge), so there is no
+    single-statement ANSI-SQL twin -- the driver records the weaker
+    rows-only check; the strong gate is the sequential-twin equality in
+    tests/test_textstats_bpe.py (merges AND final token arrays,
+    round-for-round)."""
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("doc_id") < 1500)
+    )
+    merges, _toks = textstats.bpe_train(d, n_merges=4)
+    return merges.select(
+        "round",
+        F.translate("left", textstats.BPE_SEP, "+").alias("left"),
+        F.translate("right", textstats.BPE_SEP, "+").alias("right"),
+        "cnt",
+    ).orderBy("round")
+
+
+def q_pmi_phrases(spark, sf_dir):
+    """Collocation / phrase detection (operators/textstats.pmi_phrases,
+    word2phrase discounted lift): top-20 adjacent token pairs by
+    ``(pair_cnt - delta) * n_total / (cnt_a * cnt_b)`` with min_count=5.
+    The oracle re-derives pairs with a positional self-join over
+    lockstep-unnested normalized tokens and the identical double
+    arithmetic (same operation order, round 6)."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.pmi_phrases(d, k=20, min_count=5, delta=5.0).orderBy(
+        F.col("score").desc(), F.col("pair").asc()
+    )
+
+
+Q_PMI_PHRASES_SQL = """
+  WITH ls AS (SELECT doc_id, {toks} AS w FROM documents),
+  toks AS (
+    SELECT doc_id, unnest(w) AS tok, unnest(range(1, len(w) + 1)) AS pos
+    FROM ls),
+  uni AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY 1),
+  tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM uni),
+  pr AS (
+    SELECT a.tok AS t1, b.tok AS t2, CAST(count(*) AS BIGINT) AS pair_cnt
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1, 2 HAVING count(*) >= 5)
+  SELECT pr.t1 || ' ' || pr.t2 AS pair, pr.pair_cnt,
+         ua.cnt AS cnt_a, ub.cnt AS cnt_b,
+         round((CAST(pr.pair_cnt AS DOUBLE) - 5.0) * tot.n_total
+               / (CAST(ua.cnt AS DOUBLE) * CAST(ub.cnt AS DOUBLE)), 6) AS score
+  FROM pr
+  JOIN uni ua ON ua.token = pr.t1
+  JOIN uni ub ON ub.token = pr.t2
+  CROSS JOIN tot
+  ORDER BY score DESC, pair ASC LIMIT 20
+""".format(toks=textstats.tokens_sql("text"))
+
+
 # ----------------------------------------------------------------- registry
 #
 # ORDERING POLICY (load-bearing — do not alphabetize): the round driver's
@@ -3179,71 +3304,46 @@ Q_CORPUS_CURATION_SQL = f"""
 # With >50 entries, ordering decides which queries get a driver-visible
 # correctness row this round.  Rotation rule, enforced by
 # ``tests/test_tools_contract_gate.py::test_driver_window_rotation``:
-#   1. queries with NO green row in any prior CORRECTNESS_r*.json come first
-#      (round 4: the 15 entries that sat at positions 51-65 in round 3,
-#      incl. q_ann_lsh_multitable / q_pbf_relations — never driver-sampled —
-#      and q_corpus_curation, whose r2-red fix the driver has never seen);
-#   2. then queries added this round (also zero prior coverage);
-#   3. then queries with exactly one prior green round;
+#   1. queries with NO green row in any prior CORRECTNESS_r*.json come first;
+#   2. then queries whose operator changed this round (fresh post-change row);
+#   3. then the queries whose most recent driver row is the OLDEST
+#      (round 5: the 25 entries whose last row was r3, pre-refactor —
+#      VERDICT r4 #3 — cycled back into positions 1-50);
 #   4. the tail (positions >50) may only hold queries green in >=2 prior
-#      driver rounds, each re-verified locally via tools/check_contract.py.
+#      driver rounds OR green in the LATEST round record (a fresh
+#      single-round green is safe to rotate out for one round), each
+#      re-verified locally via tools/check_contract.py.
 
 QUERIES = {
-    # -- group 1: zero r3 driver coverage (r3 positions 51-65) -------------
+    # -- window: zero prior driver coverage (new in round 5) ---------------
+    "q_license_asof": (q_license_asof, Q_LICENSE_ASOF_SQL),
+    "q_bpe_merges": (q_bpe_merges, None),
+    "q_pmi_phrases": (q_pmi_phrases, Q_PMI_PHRASES_SQL),
+    # -- window: r4-only green, operator changed in round 5 ----------------
+    "q_bpe_pairs": (q_bpe_pairs, Q_BPE_PAIRS_SQL),
+    "q_line_dedup": (q_line_dedup, Q_LINE_DEDUP_SQL),
+    "q_pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
+    "q_sample_stratified": (q_sample_stratified, Q_SAMPLE_STRATIFIED_SQL),
+    "q_weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
+    "q_pbf_relations": (q_pbf_relations, Q_PBF_RELATIONS_SQL),
+    "q_pbf_roundtrip": (q_pbf_roundtrip, Q_PBF_ROUNDTRIP_SQL),
+    "q_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
+    # -- window: r4-only green, unchanged (second green round) -------------
     "q_corpus_curation": (q_corpus_curation, Q_CORPUS_CURATION_SQL),
     "q_ann_lsh_multitable": (q_ann_lsh_multitable, Q_ANN_LSH_MT_SQL),
-    "q_pbf_relations": (q_pbf_relations, Q_PBF_RELATIONS_SQL),
-    "q_frequency_filter": (q_frequency_filter, Q_FREQUENCY_FILTER_SQL),
     "q_id_densify": (q_id_densify, Q_ID_DENSIFY_SQL),
     "q_connected_components": (q_connected_components, Q_CONNECTED_COMPONENTS_SQL),
-    "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
-    "q_split_curves": (q_split_curves, Q_SPLIT_CURVES_SQL),
     "q_cycleway_precedence": (q_cycleway_precedence, Q_CYCLEWAY_PRECEDENCE_SQL),
     "q_tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
     "q_signal_snap": (q_signal_snap, Q_SIGNAL_SNAP_SQL),
     "q_cluster_kmeans": (q_cluster_kmeans, Q_CLUSTER_KMEANS_SQL),
-    "q_pbf_roundtrip": (q_pbf_roundtrip, Q_PBF_ROUNDTRIP_SQL),
-    "q_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
     "q_dedup_pipeline": (q_dedup_pipeline, Q_DEDUP_PIPELINE_SQL),
-    # -- group 2: new in round 4 (zero prior coverage) ---------------------
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_extract_text": (q_extract_text, Q_EXTRACT_TEXT_SQL),
     "q_asof_join": (q_asof_join, Q_ASOF_JOIN_SQL),
     "q_asof_forward": (q_asof_forward, Q_ASOF_FORWARD_SQL),
     "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
-    "q_sample_stratified": (q_sample_stratified, Q_SAMPLE_STRATIFIED_SQL),
-    "q_pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
-    "q_weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
-    "q_line_dedup": (q_line_dedup, Q_LINE_DEDUP_SQL),
-    "q_bpe_pairs": (q_bpe_pairs, Q_BPE_PAIRS_SQL),
-    # -- group 3: one prior green round (r3 only) --------------------------
-    "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
-    "q_vocab_topk": (q_vocab_topk, Q_VOCAB_TOPK_SQL),
-    "q_repetition": (q_repetition, _q_repetition_sql()),
-    "q_url_canonical": (q_url_canonical, Q_URL_CANONICAL_SQL),
-    "q_mode_access": (q_mode_access, Q_MODE_ACCESS_SQL),
-    "q_merge_folds": (q_merge_folds, Q_MERGE_FOLDS_SQL),
-    "q_overlap_pairs": (q_overlap_pairs, Q_OVERLAP_PAIRS_SQL),
-    "q_split_in_buffers": (q_split_in_buffers, Q_SPLIT_IN_BUFFERS_SQL),
-    "q_reassign": (q_reassign, Q_REASSIGN_SQL),
-    "q_merge_nodes": (q_merge_nodes, Q_MERGE_NODES_SQL),
-    "q_finalize": (q_finalize, Q_FINALIZE_SQL),
-    "q_width_join": (q_width_join, Q_WIDTH_JOIN_SQL),
-    "q_buffer_radius": (q_buffer_radius, _q_buffer_radius_sql()),
-    # -- group 3b: green only in r3 (r1/r2 rows were the HUGEINT hash red) -
-    "q_sessionize_batch": (q_sessionize_batch, Q_SESSIONIZE_SQL),
-    "q_amenity_radius": (q_amenity_radius, Q_AMENITY_RADIUS_SQL),
-    # -- group 4: green in both r2 and r3 (safe to rotate past 50) ---------
-    "q_pricing_summary": (q_pricing_summary, Q_PRICING_SUMMARY_SQL),
-    "q_top2_orders_per_customer": (q_top2_orders_per_customer, Q_TOP2_SQL),
-    "q_region_rollup": (q_region_rollup, Q_REGION_ROLLUP_SQL),
-    "q_customers_without_orders": (q_customers_without_orders, Q_NO_ORDERS_SQL),
-    "q_listify_sources": (q_listify_sources, Q_LISTIFY_SQL),
-    "q_weighted_avg": (q_weighted_avg, Q_WEIGHTED_AVG_SQL),
-    "q_rank_lookup": (q_rank_lookup, Q_RANK_LOOKUP_SQL),
-    "q_events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
-    "q_tile_density": (q_tile_density, Q_TILE_DENSITY_SQL),
-    "q_knn_snap": (q_knn_snap, Q_KNN_SNAP_SQL),
+    # -- window: last driver row r3 (pre-refactor) -- VERDICT r4 #3 --------
     "q_pip_count": (q_pip_count, Q_PIP_COUNT_SQL),
     "q_tile_edge_assignment": (q_tile_edge_assignment, Q_TILE_EDGE_SQL),
     "q_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
@@ -3269,4 +3369,35 @@ QUERIES = {
     "q_clean_values": (q_clean_values, Q_CLEAN_VALUES_SQL),
     "q_intersection_length": (q_intersection_length, Q_ISECT_LEN_SQL),
     "q_parking_union": (q_parking_union, Q_PARKING_UNION_SQL),
+    # -- tail: rotated out on a LATEST-round (r4) green row ----------------
+    "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
+    "q_split_curves": (q_split_curves, Q_SPLIT_CURVES_SQL),
+    "q_frequency_filter": (q_frequency_filter, Q_FREQUENCY_FILTER_SQL),
+    # -- tail: green in r3+r4 ----------------------------------------------
+    "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
+    "q_vocab_topk": (q_vocab_topk, Q_VOCAB_TOPK_SQL),
+    "q_repetition": (q_repetition, _q_repetition_sql()),
+    "q_url_canonical": (q_url_canonical, Q_URL_CANONICAL_SQL),
+    "q_mode_access": (q_mode_access, Q_MODE_ACCESS_SQL),
+    "q_merge_folds": (q_merge_folds, Q_MERGE_FOLDS_SQL),
+    "q_overlap_pairs": (q_overlap_pairs, Q_OVERLAP_PAIRS_SQL),
+    "q_split_in_buffers": (q_split_in_buffers, Q_SPLIT_IN_BUFFERS_SQL),
+    "q_reassign": (q_reassign, Q_REASSIGN_SQL),
+    "q_merge_nodes": (q_merge_nodes, Q_MERGE_NODES_SQL),
+    "q_finalize": (q_finalize, Q_FINALIZE_SQL),
+    "q_width_join": (q_width_join, Q_WIDTH_JOIN_SQL),
+    "q_buffer_radius": (q_buffer_radius, _q_buffer_radius_sql()),
+    "q_sessionize_batch": (q_sessionize_batch, Q_SESSIONIZE_SQL),
+    "q_amenity_radius": (q_amenity_radius, Q_AMENITY_RADIUS_SQL),
+    # -- tail: green in r2+r3+r4 -------------------------------------------
+    "q_pricing_summary": (q_pricing_summary, Q_PRICING_SUMMARY_SQL),
+    "q_top2_orders_per_customer": (q_top2_orders_per_customer, Q_TOP2_SQL),
+    "q_region_rollup": (q_region_rollup, Q_REGION_ROLLUP_SQL),
+    "q_customers_without_orders": (q_customers_without_orders, Q_NO_ORDERS_SQL),
+    "q_listify_sources": (q_listify_sources, Q_LISTIFY_SQL),
+    "q_weighted_avg": (q_weighted_avg, Q_WEIGHTED_AVG_SQL),
+    "q_rank_lookup": (q_rank_lookup, Q_RANK_LOOKUP_SQL),
+    "q_events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
+    "q_tile_density": (q_tile_density, Q_TILE_DENSITY_SQL),
+    "q_knn_snap": (q_knn_snap, Q_KNN_SNAP_SQL),
 }

@@ -325,3 +325,182 @@ def bpe_pair_counts(
         topk.withColumn("rank", F.row_number().over(w))
         .select("pair", "cnt", F.col("rank").cast("int").alias("rank"))
     )
+
+
+#: Joiner inside merged BPE tokens. Original tokens come from a
+#: whitespace/``delim`` split so they can never contain it; that
+#: guarantees a merged token never string-equals an original token,
+#: which is what makes the greedy fold below exactly non-overlapping.
+BPE_SEP = "\x1e"
+
+
+def _bpe_pair_counts_from_tokens(tok_df: DataFrame, tok_col: str = "toks") -> DataFrame:
+    """Adjacent-pair counts over token ARRAYS -- the per-round counting
+    kernel of :func:`bpe_train` (same plan shape as
+    :func:`bpe_pair_counts`: narrow explode, map-side-combinable hash
+    groupBy)."""
+    toks = F.col(tok_col)
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("t1"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("t2"),
+    )
+    return (
+        tok_df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def apply_bpe_merge(tokens: Column, left: str, right: str) -> Column:
+    """Apply ONE BPE merge (left, right) -> left+BPE_SEP+right to a token
+    array, greedy leftmost non-overlapping -- the textbook merge rule --
+    as a pure JVM-side ``aggregate`` fold (no Python in the hot path).
+
+    Non-overlap falls out of the fold: a merge replaces the accumulator's
+    tail element, and the merged token is strictly longer than ``left``
+    (nonempty ``right`` + separator), so it can never re-match as the
+    left element of the same round's pair. "a a a" under (a,a) therefore
+    folds to [a+a, a], exactly like the sequential scan.
+    """
+    merged = F.lit(left + BPE_SEP + right)
+    return F.aggregate(
+        tokens,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    delim: str = " ",
+    min_count: int = 2,
+):
+    """Iterative BPE merge training (VERDICT r4 #7): ``n_merges`` rounds
+    of (count adjacent pairs) -> (pick the most frequent pair) ->
+    (apply the merge corpus-wide), the tokenizer-training loop of
+    Sennrich et al. 2016 run over the evolving token arrays.
+
+    Returns ``(merges, tokens)``: ``merges`` is a DataFrame
+    ``(round, left, right, cnt)`` with one row per executed merge
+    (stops early when no pair reaches ``min_count``), ``tokens`` the
+    final per-doc token arrays with merged tokens joined by
+    :data:`BPE_SEP`.
+
+    Scale shape: inherently iterative -- k merges = k distributed
+    passes, exactly like any real BPE trainer. Each round is one
+    narrow pair-explode + map-side-combinable hash groupBy, the winner
+    selection is ``orderBy(...).limit(1)`` (TakeOrdered -- never a
+    global window), and the merge application is a JVM-side
+    ``aggregate`` fold over each doc's array (zero Python, zero
+    shuffle). Token state is localCheckpoint'd per round so round k+1
+    scans round k's arrays instead of replaying the whole lineage; a
+    durable deployment would swap in snapshot tables. Driver state is
+    one (left, right, cnt) row per round -- O(n_merges), not O(corpus).
+
+    Ties break on (cnt desc, t1 asc, t2 asc): explicit total order,
+    deterministic across partitionings -- required for the sequential
+    twin (tests/test_textstats_bpe.py) to match row-for-row.
+    """
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    tok = docs.select(
+        F.filter(F.split(F.col(text_col), delim), lambda t: t != "").alias("toks")
+    )
+    tok = tok.localCheckpoint()
+    merges = []
+    for rnd in range(n_merges):
+        top = (
+            _bpe_pair_counts_from_tokens(tok)
+            .filter(F.col("cnt") >= min_count)
+            .orderBy(F.col("cnt").desc(), F.col("t1").asc(), F.col("t2").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0].t1, top[0].t2, top[0].cnt
+        merges.append((rnd, left, right, int(cnt)))
+        tok = tok.select(
+            apply_bpe_merge(F.col("toks"), left, right).alias("toks")
+        ).localCheckpoint()
+    spark = docs.sparkSession
+    merges_df = spark.createDataFrame(
+        merges or [], "round int, left string, right string, cnt bigint"
+    )
+    return merges_df, tok
+
+
+def pmi_phrases(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    delta: float = 5.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation / phrase detection (word2phrase, Mikolov et al. 2013):
+    score adjacent token pairs by discounted lift
+    ``(pair_cnt - delta) * n_tokens_total / (cnt_a * cnt_b)`` and return
+    the top-k -- the phrase-vocabulary step of tokenizer/embedding
+    pipelines ("new york" -> one token).
+
+    Scale shape: one narrow pair explode + hash groupBy (map-side
+    combine absorbs hot pairs), one token explode + hash groupBy for
+    unigrams, two equi-joins pair->unigram on the token key (AQE picks
+    broadcast when the vocabulary is small, shuffle when it is not),
+    the corpus total arrives as a single broadcast row (bounded by
+    construction), and the top-k is ``orderBy+limit`` (TakeOrdered --
+    same distributed partial top-k as :func:`vocab_topk`). Ties break
+    (score desc, pair asc): explicit total order. Score arithmetic is
+    double with a fixed operation order and round(6) so the DuckDB
+    oracle reproduces it bit-for-bit.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("t1"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("t2"),
+    )
+    pair_cnt = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").cast("double").alias("n_total"))
+    scored = (
+        pair_cnt.join(
+            uni.select(F.col("token").alias("t1"), F.col("cnt").alias("cnt_a")), "t1"
+        )
+        .join(
+            uni.select(F.col("token").alias("t2"), F.col("cnt").alias("cnt_b")), "t2"
+        )
+        .crossJoin(F.broadcast(total))  # ONE row by construction
+        .select(
+            F.concat_ws(" ", "t1", "t2").alias("pair"),
+            F.col("pair_cnt"),
+            F.col("cnt_a"),
+            F.col("cnt_b"),
+            F.round(
+                (F.col("pair_cnt").cast("double") - F.lit(float(delta)))
+                * F.col("n_total")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("pair").asc()).limit(k)

@@ -118,6 +118,54 @@ def pages(
     )
 
 
+#: License labels cycled by the snapshot generator (stable order).
+LICENSES = ["all-rights-reserved", "cc-by", "cc-by-sa", "public-domain"]
+
+#: First snapshot wall time; snapshots are spaced 18 h apart so the
+#: page crawl window (2025-01-01 + up to ~2 days) straddles several.
+SNAP_T0 = "2024-12-31 12:00:00"
+SNAP_SPACING_H = 18
+
+
+def license_snapshots(
+    spark: SparkSession, n_sites: int = 97, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic per-site license/robots snapshot history -- the
+    build side of the as-of enrichment ("latest licence snapshot as of
+    each page's warc_ts", VERDICT r4 #8).
+
+    Site ``s`` gets up to 4 snapshots at ``SNAP_T0 + k*18h`` with
+    ``license = LICENSES[(7*s + k) % 4]`` and ``robots_disallow =
+    ((s + k) % 10 == 0)``. Sites with ``s % 13 == 7`` are missing the
+    k=0 snapshot, so their earliest crawls precede every snapshot and
+    must surface NULL license (the LEFT semantics of the as-of join);
+    sites with ``s % 5 == 0`` freeze after k=0 (single-snapshot sites).
+    Pure column expressions over ``spark.range`` -- no driver data.
+    """
+    df = spark.range(
+        0, n_sites * 4, 1, partitions or spark.sparkContext.defaultParallelism
+    )
+    site = (F.col("id") / 4).cast("long")
+    k = (F.col("id") % 4).cast("long")
+    lic = None
+    for i, name in enumerate(LICENSES):
+        cond = F.pmod(site * 7 + k, F.lit(4)) == i
+        lic = F.when(cond, F.lit(name)) if lic is None else lic.when(cond, F.lit(name))
+    return (
+        df.filter(~((site % 13 == 7) & (k == 0)))
+        .filter(~((site % 5 == 0) & (k > 0)))
+        .select(
+            site.cast("string").alias("site"),
+            (
+                F.to_timestamp(F.lit(SNAP_T0))
+                + F.make_interval(hours=(k * SNAP_SPACING_H).cast("int"))
+            ).alias("snap_ts"),
+            lic.alias("license"),
+            ((site + k) % 10 == 0).alias("robots_disallow"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- city
 
 EDGE_TAG_COLS = [

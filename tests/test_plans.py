@@ -99,11 +99,21 @@ def test_snap_carries_coords_no_tile_rejoin(spark):
     assert not any("url" in k for k in join_keys), join_keys
 
 
+# Genuinely iterative ops with no single-statement SQL twin: the driver
+# records a rows-only check; the strong gate is a sequential twin in
+# pytest (test_textstats_bpe.py). Keep this list EXPLICIT so a missing
+# oracle is always a conscious decision, never an accident.
+ROWS_ONLY_QUERIES = {"q_bpe_merges"}
+
+
 def test_registry_integrity():
     # every contract query carries a DuckDB oracle twin (the driver's
-    # correctness gate); rows-only fallbacks would show up as None here
+    # correctness gate) unless explicitly registered as rows-only
     for name, (fn, sql) in DC.QUERIES.items():
         assert callable(fn), name
+        if name in ROWS_ONLY_QUERIES:
+            assert sql is None, f"{name} gained an oracle -- unlist it"
+            continue
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 

@@ -91,8 +91,10 @@ def test_driver_window_rotation():
 
     keys = list(queries())
     green_rounds = {}  # name -> number of rounds with a fully green row
+    latest_green: set = set()
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
         rec = json.load(open(path))
+        round_green = set()
         for name, row in rec.items():
             ok = bool(
                 row.get("rows_match")
@@ -102,6 +104,8 @@ def test_driver_window_rotation():
             )
             if ok:
                 green_rounds[name] = green_rounds.get(name, 0) + 1
+                round_green.add(name)
+        latest_green = round_green  # sorted() => last file is newest round
 
     window = set(keys[:50])
     uncovered_outside = [
@@ -111,8 +115,15 @@ def test_driver_window_rotation():
         "queries with zero prior driver coverage are outside the driver's "
         f"50-entry window: {uncovered_outside}"
     )
-    weak_tail = [k for k in keys[50:] if green_rounds.get(k, 0) < 2]
+    # A rotated-out query needs either >=2 prior green rounds, or a green
+    # row in the LATEST round record (fresh coverage: safe to skip for one
+    # round; it must cycle back in before that row grows stale).
+    weak_tail = [
+        k
+        for k in keys[50:]
+        if green_rounds.get(k, 0) < 2 and k not in latest_green
+    ]
     assert weak_tail == [], (
         "queries rotated past position 50 without >=2 prior driver-green "
-        f"rounds: {weak_tail}"
+        f"rounds or a latest-round green row: {weak_tail}"
     )
