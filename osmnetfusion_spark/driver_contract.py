@@ -3259,6 +3259,44 @@ def q_bpe_merges(spark, sf_dir):
     ).orderBy("round")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/similarity.semantic_dedup):
+    every embedding is assigned to its nearest coarse centroid (vec_id<16
+    codebook, compiled to literals -- shuffle-free scan assignment), and
+    an item is a duplicate iff a LOWER-ID cluster-mate reaches cosine
+    0.30 (rounded 6 dp before compare); dup_of = the smallest such mate.
+    The oracle re-derives assignment and the within-cluster pair scan
+    with plain cross/self-joins."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 16)
+    return similarity.semantic_dedup(e, cents, threshold=0.30).orderBy("vec_id")
+
+
+_COS_AB_SD = similarity.cosine_sql(
+    "list_transform(a.embedding, x -> CAST(x AS DOUBLE))",
+    "list_transform(b.embedding, x -> CAST(x AS DOUBLE))",
+)
+Q_SEMANTIC_DEDUP_SQL = f"""
+  WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16),
+  assign AS (
+    SELECT vec_id, cid, embedding FROM (
+      SELECT c.vec_id, t.cid, c.embedding,
+             row_number() OVER (PARTITION BY c.vec_id
+                                ORDER BY round({_COS_CA}, 6) DESC, t.cid ASC) AS rn
+      FROM embeddings c CROSS JOIN (SELECT cid, embedding FROM cents) t(cid, embedding)) __a
+    WHERE rn = 1),
+  dup AS (
+    SELECT b.vec_id AS vid, CAST(min(a.vec_id) AS BIGINT) AS dup_of
+    FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE round({_COS_AB_SD}, 6) >= 0.30
+    GROUP BY 1)
+  SELECT s.vec_id, CAST(s.cid AS BIGINT) AS bucket, d.dup_of,
+         d.dup_of IS NULL AS keep
+  FROM assign s LEFT JOIN dup d ON d.vid = s.vec_id
+  ORDER BY s.vec_id
+"""
+
+
 def q_pmi_phrases(spark, sf_dir):
     """Collocation / phrase detection (operators/textstats.pmi_phrases,
     word2phrase discounted lift): top-20 adjacent token pairs by
@@ -3319,6 +3357,7 @@ QUERIES = {
     "q_license_asof": (q_license_asof, Q_LICENSE_ASOF_SQL),
     "q_bpe_merges": (q_bpe_merges, None),
     "q_pmi_phrases": (q_pmi_phrases, Q_PMI_PHRASES_SQL),
+    "q_semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
     # -- window: r4-only green, operator changed in round 5 ----------------
     "q_bpe_pairs": (q_bpe_pairs, Q_BPE_PAIRS_SQL),
     "q_line_dedup": (q_line_dedup, Q_LINE_DEDUP_SQL),
@@ -3331,7 +3370,6 @@ QUERIES = {
     # -- window: r4-only green, unchanged (second green round) -------------
     "q_corpus_curation": (q_corpus_curation, Q_CORPUS_CURATION_SQL),
     "q_ann_lsh_multitable": (q_ann_lsh_multitable, Q_ANN_LSH_MT_SQL),
-    "q_id_densify": (q_id_densify, Q_ID_DENSIFY_SQL),
     "q_connected_components": (q_connected_components, Q_CONNECTED_COMPONENTS_SQL),
     "q_cycleway_precedence": (q_cycleway_precedence, Q_CYCLEWAY_PRECEDENCE_SQL),
     "q_tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
@@ -3373,6 +3411,7 @@ QUERIES = {
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_split_curves": (q_split_curves, Q_SPLIT_CURVES_SQL),
     "q_frequency_filter": (q_frequency_filter, Q_FREQUENCY_FILTER_SQL),
+    "q_id_densify": (q_id_densify, Q_ID_DENSIFY_SQL),
     # -- tail: green in r3+r4 ----------------------------------------------
     "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
     "q_vocab_topk": (q_vocab_topk, Q_VOCAB_TOPK_SQL),

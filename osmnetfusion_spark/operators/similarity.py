@@ -423,3 +423,107 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_centroids: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster every embedding to its nearest coarse
+    centroid, compare pairs WITHIN a cluster only, and mark as duplicate
+    every item whose rounded cosine to a LOWER-ID cluster-mate reaches
+    ``threshold`` (the lowest-id mate is the canonical survivor --
+    deterministic, partitioning-independent).
+
+    Returns ``(vec_id, bucket, dup_of, keep)``: ``dup_of`` is the
+    smallest canonical mate id (NULL for keepers), ``keep`` its
+    negation.
+
+    Scale shape: centroid assignment reuses the IVF codebook compilation
+    -- the codebook ships as one nested-array literal, so the corpus is
+    assigned in a pure scan projection (no join, no shuffle). The only
+    quadratic surface is the within-cluster self-join on ``bucket``,
+    which is exactly SemDeDup's own O(sum |cluster|^2) step; the
+    codebook size controls it (clusters ~ corpus/nlist), and the
+    equi-join shuffles both sides once on the bucket key. The dup-side
+    reduction is a map-side-combinable min() -- no window.
+
+    Determinism: cosines are rounded to 6 dp BEFORE the threshold
+    compare (ties at the boundary resolve identically in the DuckDB
+    oracle), and duplicate attribution is min(id) -- no float argmax.
+    """
+    cents = centroids.select(id_col, vec_col).limit(max_centroids + 1).collect()
+    if len(cents) > max_centroids:
+        raise ValueError(
+            f"coarse codebook exceeds max_centroids={max_centroids}; "
+            "semantic dedup wants a bounded quantizer"
+        )
+    if not cents:
+        raise ValueError("empty codebook: centroids matched zero rows")
+    cents = sorted(cents, key=lambda r: r[id_col])
+    cids = [int(r[id_col]) for r in cents]
+    cid_arr = F.array(*[F.lit(c).cast("long") for c in cids])
+    bvecs = [[float(x) for x in r[vec_col]] for r in cents]
+    dim = len(bvecs[0])
+    if any(len(b) != dim for b in bvecs):
+        raise ValueError("codebook vectors must share one dimensionality")
+
+    def _py_norm(b: list[float]) -> float:
+        acc = 0.0
+        for x in b:
+            acc += x * x
+        return acc ** 0.5
+
+    book_lit = F.lit(bvecs)
+    bnorm_lit = F.lit([_py_norm(b) for b in bvecs])
+
+    assigned = (
+        embeddings.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("cv")
+        )
+        .withColumn("__vn", _norm(F.col("cv")))
+        .withColumn(
+            "__cos",
+            F.zip_with(
+                book_lit,
+                bnorm_lit,
+                lambda b, nb: F.round(_dot(F.col("cv"), b) / (F.col("__vn") * nb), 6),
+            ),
+        )
+        .select(
+            "vid",
+            "cv",
+            F.element_at(
+                cid_arr,
+                F.array_position(F.col("__cos"), F.array_max("__cos")).cast("int"),
+            ).alias("bucket"),
+        )
+    )
+    a = assigned.select(
+        F.col("vid").alias("id_a"), F.col("cv").alias("va"), "bucket"
+    )
+    b = assigned.select(
+        F.col("vid").alias("id_b"), F.col("cv").alias("vb"), "bucket"
+    )
+    dup = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("__sim") >= F.lit(float(threshold)))
+        .groupBy(F.col("id_b").alias("vid"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "bucket",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )

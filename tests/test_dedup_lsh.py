@@ -248,3 +248,42 @@ def test_line_dedup_boilerplate_removal(spark):
     assert out[1].text_dedup == "gamma three"
     # 'alpha one' appears in 2 docs == max_df -> kept
     assert out[2].text_dedup == "delta four\nalpha one"
+
+
+def test_semantic_dedup_crafted(spark):
+    """SemDeDup semantics on a crafted set: b duplicates a (same
+    direction), d duplicates c; e is alone in its cluster; attribution
+    is the smallest lower-id mate; repartition-invariant."""
+    import numpy as np
+    import pandas as pd
+    from osmnetfusion_spark.operators import similarity as SIM
+
+    rows = {
+        0: [1.0, 0.0, 0.0],          # centroid A / canonical
+        1: [0.999, 0.01, 0.0],       # dup of 0
+        2: [0.998, -0.01, 0.0],      # dup of 0 (min attribution, not 1)
+        10: [0.0, 1.0, 0.0],         # centroid B / canonical
+        11: [0.01, 0.999, 0.0],      # dup of 10
+        20: [0.0, 0.0, 1.0],         # centroid C, alone
+    }
+    pdf = pd.DataFrame(
+        {"vec_id": list(rows), "embedding": [np.array(v, dtype=np.float32) for v in rows.values()]}
+    )
+    e = spark.createDataFrame(pdf)
+    cents = e.filter("vec_id in (0, 10, 20)")
+    out = {r.vec_id: r for r in SIM.semantic_dedup(e, cents, threshold=0.99).collect()}
+    assert out[0].keep and out[0].dup_of is None
+    assert out[1].dup_of == 0 and not out[1].keep
+    assert out[2].dup_of == 0          # min lower-id mate, not 1
+    assert out[11].dup_of == 10
+    assert out[20].keep
+    out2 = {
+        r.vec_id: (r.dup_of, r.keep)
+        for r in SIM.semantic_dedup(e.repartition(5), cents, threshold=0.99).collect()
+    }
+    assert out2 == {k: (v.dup_of, v.keep) for k, v in out.items()}
+    # keep-rate sanity on the real table: dedup never drops everything
+    real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rc = SIM.semantic_dedup(real, real.filter("vec_id < 8"), threshold=0.30)
+    kept = rc.filter("keep").count()
+    assert 0 < kept < rc.count()
