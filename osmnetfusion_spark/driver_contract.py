@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from . import h3idx
 from .functions import geo, tags
 from .operators import dedup, sampling, similarity, spatial, temporal, textstats
+from .operators.quantiles import grouped_quantiles
 from .plans import tiles
 
 # window aligned with the synthetic city (scale 1)
@@ -3352,8 +3353,153 @@ Q_PMI_PHRASES_SQL = """
 #      single-round green is safe to rotate out for one round), each
 #      re-verified locally via tools/check_contract.py.
 
+
+
+# ------------------------------------------------- round-5 LLM-pipeline ops
+
+BM25_TERMS = ["spark", "window", "join"]
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 keyword retrieval (operators/textstats.bm25_topk): top-20
+    documents for a 3-term query, Lucene idf, k1=1.2 b=0.75. The oracle
+    recomputes tf/df/avgdl with the identical double operation order."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.bm25_topk(d, BM25_TERMS, k=20)
+
+
+def _bm25_sql() -> str:
+    toks = textstats.tokens_sql("text")
+    tf = {
+        i: f"CAST(length(list_filter(tk, t -> t = '{trm}')) AS DOUBLE)"
+        for i, trm in enumerate(BM25_TERMS)
+    }
+    base_cols = ", ".join(f"{tf[i]} AS tf{i}" for i in tf)
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in tf
+    )
+    score = "0.0"
+    for i in tf:
+        idf = f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        norm = f"(tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        score = f"({score} + {idf} * tf{i} * 2.2 / {norm})"
+    any_tf = " + ".join(f"tf{i}" for i in tf)
+    return f"""
+  WITH base AS (
+    SELECT doc_id, CAST(length(tk) AS DOUBLE) AS dl, {base_cols}
+    FROM (SELECT doc_id, {toks} AS tk FROM documents) __t),
+  stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, {dfs} FROM base)
+  SELECT doc_id, round({score}, 6) AS bm25
+  FROM base CROSS JOIN stats
+  WHERE ({any_tf}) > 0
+  ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+
+
+Q_BM25_SQL = _bm25_sql()
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """Bigram-LM quality scoring (operators/textstats.lm_score, the
+    CCNet/Wenzek et al. 2020 perplexity-filter shape): add-0.5-smoothed
+    bigram NLL per document, trained on the corpus itself. The oracle
+    re-derives bigrams by lockstep unnest and replays the identical
+    smoothing arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.lm_score(d, alpha=0.5)
+
+
+Q_LM_PERPLEXITY_SQL = """
+  WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+  big AS (
+    SELECT doc_id, w[i] AS t1, w[i + 1] AS t2
+    FROM t, unnest(range(1, len(w))) AS r(i)),
+  pc AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS pair_cnt
+         FROM big GROUP BY 1, 2),
+  cc AS (SELECT t1, CAST(count(*) AS BIGINT) AS ctx_cnt FROM big GROUP BY 1),
+  v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vv
+        FROM (SELECT unnest(w) AS tok FROM t) __u)
+  SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(-ln((pair_cnt + 0.5) / (ctx_cnt + 0.5 * vv))), 6) AS nll
+  FROM big
+  JOIN pc ON pc.t1 = big.t1 AND pc.t2 = big.t2
+  JOIN cc ON cc.t1 = big.t1
+  CROSS JOIN v
+  GROUP BY 1
+""".format(toks=textstats.tokens_sql("text"))
+
+
+SPAN_W = 8
+
+
+def q_span_dedup(spark, sf_dir):
+    """Duplicated-span detection (operators/dedup.span_dedup, Lee et al.
+    2022 substring dedup): per-doc fraction of 8-token windows occurring
+    >= 2 times corpus-wide, keyed by the 64-bit double-poly hash both engines share.
+    tests/test_dedup_span.py pins hash-mode == exact-string-mode at this
+    scale (no collisions), so the oracle match covers the real path."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.span_dedup(d, w=SPAN_W)
+
+
+def _span_dedup_sql() -> str:
+    toks = textstats.tokens_sql("text")
+    wkey = textstats.poly_hash64_sql(
+        f"array_to_string(list_slice(w, i, i + {SPAN_W - 1}), chr(31))"
+    )
+    return f"""
+  WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+  win AS (
+    SELECT doc_id, {wkey} AS wkey
+    FROM t, unnest(range(1, len(w) - {SPAN_W - 2})) AS r(i)),
+  c AS (SELECT wkey, count(*) AS occ FROM win GROUP BY 1)
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_windows,
+         round(CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS dup_span_frac
+  FROM win JOIN c USING (wkey)
+  GROUP BY 1
+"""
+
+
+Q_SPAN_DEDUP_SQL = _span_dedup_sql()
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact grouped quantiles from a histogram
+    (operators/quantiles.grouped_quantiles): per-language interpolated
+    p25/p50/p75/p95 of the word-token count. The oracle is DuckDB's
+    built-in quantile_cont -- an INDEPENDENT algorithm (per-group sort),
+    so the hash match is evidence the bounded-state histogram derivation
+    is exact, not a twin replay."""
+    d = _t(spark, sf_dir, "documents")
+    dq = d.select(
+        "lang", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    return grouped_quantiles(dq, ["lang"], "n_tokens", [0.25, 0.5, 0.75, 0.95])
+
+
+Q_LENGTH_QUANTILES_SQL = """
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+         round(quantile_cont(n_tokens, 0.25), 6) AS q25,
+         round(quantile_cont(n_tokens, 0.50), 6) AS q50,
+         round(quantile_cont(n_tokens, 0.75), 6) AS q75,
+         round(quantile_cont(n_tokens, 0.95), 6) AS q95
+  FROM (SELECT lang, CAST(length({toks}) AS BIGINT) AS n_tokens
+        FROM documents) __t
+  GROUP BY lang
+""".format(toks=textstats.tokens_sql("text"))
+
+
 QUERIES = {
     # -- window: zero prior driver coverage (new in round 5) ---------------
+    "q_bm25": (q_bm25, Q_BM25_SQL),
+    "q_lm_perplexity": (q_lm_perplexity, Q_LM_PERPLEXITY_SQL),
+    "q_span_dedup": (q_span_dedup, Q_SPAN_DEDUP_SQL),
+    "q_length_quantiles": (q_length_quantiles, Q_LENGTH_QUANTILES_SQL),
     "q_license_asof": (q_license_asof, Q_LICENSE_ASOF_SQL),
     "q_bpe_merges": (q_bpe_merges, None),
     "q_pmi_phrases": (q_pmi_phrases, Q_PMI_PHRASES_SQL),

@@ -23,7 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .textstats import (
-    POLY_BASE, POLY_MOD, poly_hash, poly_hash_sql, tokens_col, tokens_sql,
+    POLY_BASE, POLY_MOD, poly_hash, poly_hash64, poly_hash_sql, tokens_col,
+    tokens_sql,
 )
 
 # deterministic affine MinHash parameters (public constants, any odd a works)
@@ -519,5 +520,77 @@ def line_dedup(
                 joiner,
             ).alias("text_dedup"),
             F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact: bool = False,
+) -> DataFrame:
+    """Duplicated-span detection over rolling ``w``-token windows (the
+    substring-dedup signal of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): for each document, the fraction
+    of its ``w``-token windows that occur >= 2 times anywhere in the
+    corpus (including elsewhere in the same document). High
+    ``dup_span_frac`` = the document is largely stitched from text that
+    exists verbatim elsewhere -- the span-level complement of document-
+    level MinHash dedup, and the per-doc score used to decide span
+    excision vs whole-doc removal.
+
+    Output: ``(doc_id, n_windows, dup_windows, dup_span_frac)``;
+    documents with fewer than ``w`` word tokens have no windows and emit
+    no row.
+
+    Scale shape: windows are built per row as a JVM ``transform`` over
+    the token array (shuffle-free) and keyed by the collision-hardened
+    64-bit double-polynomial hash (`poly_hash64`, key space ~1e18 -- a
+    single 1e9+7 residue already collides at ~1e4 windows) so the
+    shuffle moves 8-byte keys, not
+    ~50-byte strings; the occurrence count is one map-side-combinable
+    hash groupBy, and the attribution join back to (doc, window) rows is
+    a shuffled equi-join on the hash key -- deliberately NOT a broadcast:
+    the duplicated-window set grows with corpus size (the line_dedup
+    lesson), so the strategy is left to AQE. The per-doc reduce is one
+    combinable agg. ``exact=True`` keys windows by the raw joined string
+    instead (zero collisions, ~w x the shuffle bytes). At 100 TB even
+    ~1e18 keys saturate -- production would swap `poly_hash64` for
+    ``F.xxhash64`` on the window string; the contract keeps poly because
+    the DuckDB oracle reproduces it value-for-value, and `exact` mode is
+    the collision-free reference both are tested against.
+    """
+    if w < 1:
+        raise ValueError(f"window must be >= 1 token, got {w}")
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    nw = n - (w - 1)
+    win_str = lambda i: F.concat_ws("\x1f", F.slice(toks, i, w))  # noqa: E731
+    key = (lambda i: win_str(i)) if exact else (lambda i: poly_hash64(win_str(i)))
+    wins = F.when(
+        nw >= 1, F.transform(F.sequence(F.lit(1), nw), key)
+    ).otherwise(F.array().cast("array<string>" if exact else "array<long>"))
+    exploded = docs.select(
+        F.col(id_col).alias("__did"), F.explode(wins).alias("wkey")
+    )
+    cnts = exploded.groupBy("wkey").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        exploded.join(cnts, "wkey")  # no broadcast hint: set is unbounded
+        .groupBy("__did")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("occ") >= 2).cast("long")).alias("dup_windows"),
+        )
+        .select(
+            F.col("__did").alias(id_col),
+            "n_windows",
+            "dup_windows",
+            F.round(
+                F.col("dup_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+                6,
+            ).alias("dup_span_frac"),
         )
     )

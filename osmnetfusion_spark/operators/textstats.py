@@ -18,6 +18,11 @@ from pyspark.sql import functions as F
 
 POLY_MOD = 1_000_000_007
 POLY_BASE = 31
+# second independent polynomial for the 64-bit combined key: the product
+# POLY_MOD * POLY_MOD2 ~ 1e18 fits a signed long, so
+# h1 * POLY_MOD2 + h2 is an injective pairing of the two residues
+POLY_MOD2 = 998_244_353
+POLY_BASE2 = 131
 
 # minimal deterministic stopword sets (public, common-knowledge lists)
 STOPWORDS = {
@@ -81,6 +86,29 @@ def poly_hash_sql(tok: str) -> str:
         f"list_transform(string_split({tok}, ''), c -> unicode(c)::BIGINT)), "
         f"(a, b) -> (a * {POLY_BASE} + b) % {POLY_MOD})"
     )
+
+
+def poly_hash64(tok: Column) -> Column:
+    """Collision-hardened 64-bit key: two independent polynomial residues
+    (bases 31/131, moduli 1e9+7 / 998244353) paired injectively as
+    ``h1 * POLY_MOD2 + h2`` -- key space ~1e18, so birthday collisions
+    stay negligible to ~1e8 distinct keys (a single poly mod 1e9+7
+    collides measurably past ~1e4). Max value ~9.98e17 < 2^63."""
+    h2 = F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * POLY_BASE2 + F.ascii(c)) % POLY_MOD2,
+    )
+    return poly_hash(tok) * F.lit(POLY_MOD2).cast("long") + h2
+
+
+def poly_hash64_sql(tok: str) -> str:
+    h2 = (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({tok}, ''), c -> unicode(c)::BIGINT)), "
+        f"(a, b) -> (a * {POLY_BASE2} + b) % {POLY_MOD2})"
+    )
+    return f"({poly_hash_sql(tok)} * {POLY_MOD2}::BIGINT + {h2})"
 
 
 def doc_fingerprint(text: Column) -> Column:
@@ -504,3 +532,138 @@ def pmi_phrases(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col("pair").asc()).limit(k)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword retrieval (Robertson & Zaragoza 2009; Lucene's
+    practical variant): score every document against a small bag of
+    query ``terms`` and return the top-k -- the relevance-ranked
+    lookup a corpus-curation team runs to audit what a filter kept.
+
+    ``score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+    with the Lucene idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``, ``dl``
+    the word-token count of the document and ``avgdl`` its corpus mean.
+
+    Scale shape: the per-term tf's are pure column expressions over the
+    token array (no explode -- the query vocabulary is a literal, so
+    each tf is one JVM ``filter``+``size`` inside codegen). Corpus
+    statistics (N, avgdl, per-term df) reduce to ONE row via a
+    map-side-combinable aggregate and re-enter as a broadcast
+    crossJoin; the ranking is ``orderBy+limit`` (TakeOrdered -- a
+    distributed partial top-k, never a single-task global sort). Total
+    cost: two narrow scans of the text column and a k-row result; the
+    only shuffle is the one-row statistics reduction. Ties break
+    (score desc, doc_id asc): explicit total order.
+    """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    toks = tokens_col(F.col(text_col))
+    def _tf(term: str):
+        # closure factory: a default-arg lambda would have two params and
+        # pyspark would hand it the (value, index) higher-order signature
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    tf_cols = [_tf(trm).alias(f"__tf_{i}") for i, trm in enumerate(terms)]
+    base = docs.select(
+        F.col(doc_id), F.size(toks).cast("double").alias("__dl"), *tf_cols
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))  # ONE row by construction
+    score = F.lit(0.0)
+    any_tf = F.lit(0)
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df_{i}") + F.lit(0.5))
+            / (F.col(f"__df_{i}") + F.lit(0.5))
+        )
+        norm = tf + F.lit(float(k1)) * (
+            F.lit(1.0 - b) + F.lit(float(b)) * F.col("__dl") / F.col("__avgdl")
+        )
+        score = score + idf * tf * F.lit(float(k1) + 1.0) / norm
+        any_tf = any_tf + F.col(f"__tf_{i}")
+    out = (
+        j.filter(any_tf > 0)
+        .select(F.col(doc_id), F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(doc_id).asc())
+        .limit(k)
+    )
+    return out
+
+
+def lm_score(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Bigram language-model scoring (the CCNet / Wenzek et al. 2020
+    perplexity-filter shape, with the corpus itself as the training
+    set): add-``alpha``-smoothed bigram negative log-likelihood per
+    document. Low ``nll`` = fluent/typical text, high = gibberish or
+    boilerplate-saturated -- the standard LM-quality gate in web-corpus
+    pipelines (reference semantics: CCNet's KenLM bucket filter).
+
+    ``p(t2|t1) = (c(t1,t2) + alpha) / (c(t1,*) + alpha * V)`` with
+    ``V`` the unigram vocabulary size; output per doc is
+    ``(doc_id, n_bigrams, nll)`` with ``nll = avg(-ln p)`` rounded to
+    6 dp. Documents with fewer than two word tokens emit no row.
+
+    Scale shape: bigrams come from an ``arrays_zip`` of two shifted
+    slices (shuffle-free construction, one narrow explode); the model
+    tables are hash groupBys with map-side combine (hot bigrams like
+    "of the" collapse to one partial row per partition before the
+    shuffle); scoring is two equi-joins on token keys -- AQE broadcasts
+    them when the vocabulary is small and shuffles otherwise, with AQE
+    skew-join splitting the natural Zipf head; the vocabulary size
+    arrives as ONE broadcast row. The per-doc reduce is a
+    map-side-combinable avg. No window, no driver loop, no UDF.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("t1"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("t2"),
+    )
+    big = docs.select(F.col(doc_id).alias("__did"), F.explode(pairs).alias("p")).select(
+        "__did", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2")
+    )
+    pair_cnt = big.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    ctx_cnt = big.groupBy("t1").agg(F.count(F.lit(1)).alias("ctx_cnt"))
+    vocab = (
+        docs.select(F.explode(toks).alias("token"))
+        .agg(F.countDistinct("token").cast("double").alias("__v"))
+    )
+    nll_term = -F.log(
+        (F.col("pair_cnt").cast("double") + F.lit(float(alpha)))
+        / (F.col("ctx_cnt").cast("double") + F.lit(float(alpha)) * F.col("__v"))
+    )
+    return (
+        big.join(pair_cnt, ["t1", "t2"])
+        .join(ctx_cnt, ["t1"])
+        .crossJoin(F.broadcast(vocab))  # ONE row by construction
+        .groupBy("__did")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll_term), 6).alias("nll"),
+        )
+        .select(F.col("__did").alias(doc_id), "n_bigrams", "nll")
+    )
