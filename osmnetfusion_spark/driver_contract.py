@@ -3517,10 +3517,6 @@ QUERIES = {
     "q_corpus_curation": (q_corpus_curation, Q_CORPUS_CURATION_SQL),
     "q_ann_lsh_multitable": (q_ann_lsh_multitable, Q_ANN_LSH_MT_SQL),
     "q_connected_components": (q_connected_components, Q_CONNECTED_COMPONENTS_SQL),
-    "q_cycleway_precedence": (q_cycleway_precedence, Q_CYCLEWAY_PRECEDENCE_SQL),
-    "q_tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
-    "q_signal_snap": (q_signal_snap, Q_SIGNAL_SNAP_SQL),
-    "q_cluster_kmeans": (q_cluster_kmeans, Q_CLUSTER_KMEANS_SQL),
     "q_dedup_pipeline": (q_dedup_pipeline, Q_DEDUP_PIPELINE_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_extract_text": (q_extract_text, Q_EXTRACT_TEXT_SQL),
@@ -3554,6 +3550,10 @@ QUERIES = {
     "q_intersection_length": (q_intersection_length, Q_ISECT_LEN_SQL),
     "q_parking_union": (q_parking_union, Q_PARKING_UNION_SQL),
     # -- tail: rotated out on a LATEST-round (r4) green row ----------------
+    "q_cycleway_precedence": (q_cycleway_precedence, Q_CYCLEWAY_PRECEDENCE_SQL),
+    "q_tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
+    "q_signal_snap": (q_signal_snap, Q_SIGNAL_SNAP_SQL),
+    "q_cluster_kmeans": (q_cluster_kmeans, Q_CLUSTER_KMEANS_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_split_curves": (q_split_curves, Q_SPLIT_CURVES_SQL),
     "q_frequency_filter": (q_frequency_filter, Q_FREQUENCY_FILTER_SQL),
