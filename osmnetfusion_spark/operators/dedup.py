@@ -594,3 +594,86 @@ def span_dedup(
             ).alias("dup_span_frac"),
         )
     )
+
+
+# ------------------------------------------------- content-defined chunking
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    avg: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunk dedup (the FastCDC / rsync rolling-hash
+    family, here at token granularity): a chunk boundary falls AFTER any
+    token whose polynomial hash is ``0 mod avg``, so chunk edges are
+    decided by content, not position -- an insertion early in a document
+    shifts every fixed-window span but leaves all later CDC chunks
+    byte-identical, which is why backup/dedup systems prefer it.
+    Expected chunk length is ``avg`` tokens.
+
+    Output: ``(doc_id, n_chunks, dup_chunks, dup_chunk_frac)`` where a
+    chunk is "dup" if its text occurs >= 2 times corpus-wide (keyed by
+    `poly_hash64`, same collision budget as `span_dedup`). Documents
+    with no word tokens emit no row.
+
+    Scale shape: tokenization + boundary flags are per-row JVM exprs;
+    the chunk assembly is ONE window + groupBy pair partitioned by
+    ``doc_id`` (per-doc state only, no global ordering); the occurrence
+    count is a map-side-combinable groupBy on the 8-byte chunk key; the
+    attribution join is an AQE-chosen equi-join (never a forced
+    broadcast -- the duplicated-chunk set grows with corpus size).
+    Unlike `span_dedup` each token lands in exactly ONE chunk, so the
+    shuffled row count is ~n_tokens, not ~w * n_tokens.
+    """
+    if avg < 2:
+        raise ValueError(f"target average chunk length must be >= 2, got {avg}")
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col(text_col))
+    tok = docs.select(
+        F.col(id_col).alias("__did"), F.posexplode(toks).alias("pos", "tok")
+    )
+    bnd = (poly_hash(F.col("tok")) % avg == 0).cast("long")
+    w = (
+        Window.partitionBy("__did")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_cid = tok.select(
+        "__did", "pos", "tok",
+        F.coalesce(F.sum(bnd).over(w), F.lit(0)).alias("cid"),
+    )
+    chunks = (
+        with_cid.groupBy("__did", "cid")
+        .agg(
+            F.concat_ws(
+                "\x1f",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("chunk")
+        )
+        .select("__did", poly_hash64(F.col("chunk")).alias("ckey"))
+    )
+    cnts = chunks.groupBy("ckey").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        chunks.join(cnts, "ckey")  # no broadcast hint: set is unbounded
+        .groupBy("__did")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("occ") >= 2).cast("long")).alias("dup_chunks"),
+        )
+        .select(
+            F.col("__did").alias(id_col),
+            "n_chunks",
+            "dup_chunks",
+            F.round(
+                F.col("dup_chunks").cast("double")
+                / F.col("n_chunks").cast("double"),
+                6,
+            ).alias("dup_chunk_frac"),
+        )
+    )

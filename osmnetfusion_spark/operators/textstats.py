@@ -667,3 +667,67 @@ def lm_score(
         )
         .select(F.col("__did").alias(doc_id), "n_bigrams", "nll")
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (Sparck Jones 1972; the
+    keyword-extraction / topic-audit primitive of corpus curation:
+    "what is each kept document ABOUT").
+
+    ``tfidf(t, d) = tf(t, d) * ln(N / df(t))`` with raw term counts and
+    unsmoothed idf; per document the ``k`` highest-scoring terms are
+    ranked (rounded score desc, term asc -- ranking on the ROUNDED
+    score keeps the order identical across engines whose ``ln`` may
+    differ in the last ulp). Output:
+    ``(doc_id, term, tf, df_docs, tfidf, rank)``.
+
+    Scale shape: one explode -> (doc, term) groupBy for tf (map-side
+    combinable, ~n_tokens rows shuffled once); df is a second combinable
+    groupBy over the tf table (distinct (doc, term) already); N enters
+    as ONE broadcast row; the per-doc top-k is a window partitioned by
+    ``doc_id`` -- per-group state only, never a global sort. The
+    tf ⋈ df equi-join on ``term`` is left to AQE (Zipf-head terms are
+    exactly the skew-join case).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col(text_col))
+    tf = (
+        docs.select(F.col(doc_id).alias("__did"), F.explode(toks).alias("term"))
+        .groupBy("__did", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))  # ONE row by construction
+        .select(
+            "__did", "term", "tf", "df_docs",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("__n") / F.col("df_docs").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("__did").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.select(
+            "*", F.row_number().over(w).cast("int").alias("rank")
+        )
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__did").alias(doc_id), "term", "tf", "df_docs",
+            "tfidf", "rank",
+        )
+    )
