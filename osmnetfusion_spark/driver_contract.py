@@ -3631,9 +3631,36 @@ def _pii_sql() -> str:
 Q_PII_REDACT_SQL = _pii_sql()
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing
+    (operators/cleaning.ccnet_buckets): per-language NLL terciles decide
+    each document's bucket -- the Wenzek et al. 2020 filter rule as a
+    composition of lm_score + grouped_quantiles. Buckets compare the
+    6dp-rounded NLL against 6dp-rounded thresholds on BOTH sides, so the
+    oracle's independent quantile_cont cannot flip a boundary doc."""
+    d = _t(spark, sf_dir, "documents")
+    return cleaning.ccnet_buckets(d)
+
+
+Q_CCNET_BUCKETS_SQL = f"""
+  WITH base AS (SELECT * FROM ({Q_LM_PERPLEXITY_SQL}) __lm),
+  wl AS (SELECT b.doc_id, d.lang, b.nll
+         FROM base b JOIN documents d USING (doc_id)),
+  thr AS (SELECT lang, round(quantile_cont(nll, 1.0/3.0), 6) AS q33,
+                 round(quantile_cont(nll, 2.0/3.0), 6) AS q66
+          FROM wl GROUP BY 1)
+  SELECT doc_id, lang, nll,
+         CASE WHEN nll <= q33 THEN 'head'
+              WHEN nll <= q66 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM wl JOIN thr USING (lang)
+"""
+
+
 QUERIES = {
     # -- window: zero prior driver coverage (new in round 5) ---------------
     "q_pagerank": (q_pagerank, Q_PAGERANK_SQL),
+    "q_ccnet_buckets": (q_ccnet_buckets, Q_CCNET_BUCKETS_SQL),
     "q_cdc_chunks": (q_cdc_chunks, Q_CDC_CHUNKS_SQL),
     "q_tfidf_topk": (q_tfidf_topk, Q_TFIDF_SQL),
     "q_pii_redact": (q_pii_redact, Q_PII_REDACT_SQL),
@@ -3652,7 +3679,6 @@ QUERIES = {
     "q_sample_stratified": (q_sample_stratified, Q_SAMPLE_STRATIFIED_SQL),
     "q_weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
     "q_pbf_relations": (q_pbf_relations, Q_PBF_RELATIONS_SQL),
-    "q_pbf_roundtrip": (q_pbf_roundtrip, Q_PBF_ROUNDTRIP_SQL),
     "q_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
     # -- window: r4-only green, unchanged (second green round) -------------
     "q_corpus_curation": (q_corpus_curation, Q_CORPUS_CURATION_SQL),
@@ -3693,6 +3719,7 @@ QUERIES = {
     "q_asof_forward": (q_asof_forward, Q_ASOF_FORWARD_SQL),
     "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
     "q_connected_components": (q_connected_components, Q_CONNECTED_COMPONENTS_SQL),
+    "q_pbf_roundtrip": (q_pbf_roundtrip, Q_PBF_ROUNDTRIP_SQL),
     "q_cycleway_precedence": (q_cycleway_precedence, Q_CYCLEWAY_PRECEDENCE_SQL),
     "q_tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
     "q_signal_snap": (q_signal_snap, Q_SIGNAL_SNAP_SQL),

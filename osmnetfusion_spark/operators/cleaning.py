@@ -82,3 +82,53 @@ def pii_redact_sql_columns(text: str) -> dict[str, str]:
         red = f"regexp_replace({red}, '{esc}', '{rep}', 'g')"
     out["redacted_fp"] = poly_hash64_sql(red)
     return out
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+    language's documents into head / middle / tail by the per-language
+    terciles of the bigram-LM negative log-likelihood -- the decision
+    rule CCNet uses to keep the fluent third of every language and
+    discard (or down-weight) the rest.
+
+    Composition of two existing operators: :func:`~..textstats.lm_score`
+    for the per-doc NLL and
+    :func:`~.quantiles.grouped_quantiles` for the per-language tercile
+    thresholds, joined back and compared ON THE ROUNDED values (both
+    sides 6 dp) so the bucket boundary can never flip on a last-ulp
+    difference.  Output: ``(doc_id, lang, nll, bucket)`` for every doc
+    with >= 2 word tokens.
+
+    Scale shape: lm_score's groupBys + one histogram-quantile pass per
+    language (bounded by distinct rounded NLL values) + one
+    lang-keyed equi-join of per-doc rows against a #langs-row threshold
+    table (AQE broadcasts it).  No window over docs, no driver loop.
+    """
+    from .textstats import lm_score
+    from .quantiles import grouped_quantiles
+
+    scored = lm_score(docs, alpha=alpha, text_col=text_col, doc_id=id_col)
+    with_lang = scored.join(
+        docs.select(F.col(id_col), F.col(lang_col)), id_col
+    )
+    thr = grouped_quantiles(
+        with_lang, [lang_col], "nll", [1.0 / 3.0, 2.0 / 3.0], ["q33", "q66"]
+    ).select(lang_col, "q33", "q66")
+    return (
+        with_lang.join(thr, lang_col)
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            "nll",
+            F.when(F.col("nll") <= F.col("q33"), F.lit("head"))
+            .when(F.col("nll") <= F.col("q66"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

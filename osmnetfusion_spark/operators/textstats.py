@@ -731,3 +731,47 @@ def tfidf_topk(
             "tfidf", "rank",
         )
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    doc_id: str = "doc_id",
+    delim: str = " ",
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Tokenizer INFERENCE: apply a trained, rank-ordered BPE merge list
+    (from :func:`bpe_train`) to encode documents -- the deploy-time half
+    of the Sennrich et al. 2016 loop. Each merge is the same greedy
+    leftmost non-overlapping fold as training (`apply_bpe_merge`), so
+    encoding the training corpus reproduces the trainer's final token
+    arrays exactly (pinned by tests/test_textstats_bpe.py).
+
+    Scale shape: the merge list is a driver-side constant (bounded by
+    ``n_merges``, like the IVF codebook), each merge is a narrow
+    JVM-side array fold -- no shuffle, no Python, no state; plan depth
+    is bounded by ``checkpoint_every`` materialization barriers so a
+    50k-merge vocabulary cannot build a 50k-deep expression tree.
+    Output: ``(doc_id, toks, n_tokens)``.
+    """
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    tok = docs.select(
+        F.col(doc_id),
+        F.filter(F.split(F.col(text_col), delim), lambda t: t != "").alias(
+            "toks"
+        ),
+    )
+    for i, (left, right) in enumerate(merges):
+        tok = tok.select(
+            F.col(doc_id),
+            apply_bpe_merge(F.col("toks"), left, right).alias("toks"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
+            tok = tok.localCheckpoint()
+    return tok.select(
+        F.col(doc_id), "toks", F.size("toks").cast("int").alias("n_tokens")
+    )

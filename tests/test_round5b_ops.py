@@ -220,3 +220,44 @@ def test_pii_redact_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     plan = _plan(cleaning.pii_redact(df))
     assert "Exchange" not in plan
+
+
+# -------------------------------------------------------- ccnet_buckets
+
+
+def test_ccnet_buckets_terciles_per_lang(spark):
+    # 9 docs in one lang with clearly separated NLL levels -> 3/3/3 split;
+    # repetitive text scores low NLL, mixed-vocab text scores high
+    rows = []
+    for i in range(3):
+        rows.append((i, "aa bb " * 20, "de"))                  # fluent
+    for i in range(3, 6):
+        rows.append((i, "aa bb cc dd ee ff gg hh " * 5, "de"))  # middle
+    for i in range(6, 9):
+        rows.append((i, f"u{i}a v{i}b w{i}c x{i}d y{i}e z{i}f q{i}g r{i}h "
+                        f"s{i}i t{i}j", "de"))                  # rare bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in
+           __import__("osmnetfusion_spark.operators.cleaning",
+                      fromlist=["ccnet_buckets"]).ccnet_buckets(df).collect()}
+    assert len(out) == 9
+    buckets = [out[i]["bucket"] for i in range(9)]
+    assert buckets[:3] == ["head"] * 3
+    assert buckets[3:6] == ["middle"] * 3
+    assert buckets[6:] == ["tail"] * 3
+    # nll ordering consistent with buckets
+    assert max(out[i]["nll"] for i in range(3)) <= min(
+        out[i]["nll"] for i in range(3, 6))
+
+
+def test_ccnet_buckets_langs_are_independent(spark):
+    # the same text lands in different buckets depending on its language
+    # peers -- thresholds are per-language
+    rows = [(0, "p q " * 10, "aa"), (1, "p q r s t u v w x y", "aa"),
+            (2, "p q s t v w y z p r", "aa"),
+            (3, "p q " * 10, "bb")]  # sole bb doc: its own tercile -> head
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from osmnetfusion_spark.operators.cleaning import ccnet_buckets
+    out = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(df).collect()}
+    assert out[3] == "head"
+    assert set(out) == {0, 1, 2, 3}
