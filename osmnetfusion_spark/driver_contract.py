@@ -3657,10 +3657,29 @@ Q_CCNET_BUCKETS_SQL = f"""
 """
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher document-shape quality gate (operators/cleaning.
+    gopher_rules, Rae et al. 2021 table A1 subset): per-doc metrics,
+    one boolean per rule, and the AND-of-all gate. All comparisons run
+    on 6dp-rounded metrics in BOTH engines."""
+    d = _t(spark, sf_dir, "documents")
+    return cleaning.gopher_rules(d)
+
+
+def _gopher_sql() -> str:
+    cols = cleaning.gopher_rules_sql("text")
+    sel = ", ".join(f"{v} AS {k}" for k, v in cols.items())
+    return f"SELECT doc_id, {sel} FROM documents"
+
+
+Q_GOPHER_RULES_SQL = _gopher_sql()
+
+
 QUERIES = {
     # -- window: zero prior driver coverage (new in round 5) ---------------
     "q_pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "q_ccnet_buckets": (q_ccnet_buckets, Q_CCNET_BUCKETS_SQL),
+    "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "q_cdc_chunks": (q_cdc_chunks, Q_CDC_CHUNKS_SQL),
     "q_tfidf_topk": (q_tfidf_topk, Q_TFIDF_SQL),
     "q_pii_redact": (q_pii_redact, Q_PII_REDACT_SQL),
@@ -3682,7 +3701,6 @@ QUERIES = {
     "q_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
     # -- window: r4-only green, unchanged (second green round) -------------
     "q_corpus_curation": (q_corpus_curation, Q_CORPUS_CURATION_SQL),
-    "q_ann_lsh_multitable": (q_ann_lsh_multitable, Q_ANN_LSH_MT_SQL),
     "q_dedup_pipeline": (q_dedup_pipeline, Q_DEDUP_PIPELINE_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_extract_text": (q_extract_text, Q_EXTRACT_TEXT_SQL),
@@ -3720,6 +3738,7 @@ QUERIES = {
     "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
     "q_connected_components": (q_connected_components, Q_CONNECTED_COMPONENTS_SQL),
     "q_pbf_roundtrip": (q_pbf_roundtrip, Q_PBF_ROUNDTRIP_SQL),
+    "q_ann_lsh_multitable": (q_ann_lsh_multitable, Q_ANN_LSH_MT_SQL),
     "q_cycleway_precedence": (q_cycleway_precedence, Q_CYCLEWAY_PRECEDENCE_SQL),
     "q_tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
     "q_signal_snap": (q_signal_snap, Q_SIGNAL_SNAP_SQL),

@@ -132,3 +132,159 @@ def ccnet_buckets(
             .alias("bucket"),
         )
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, table A1 subset --
+# the deterministic, lexicon-free rules). Parameters of gopher_rules.
+GOPHER_DEFAULTS = dict(
+    min_words=20, max_words=100_000,
+    min_mean_word_len=2.0, max_mean_word_len=10.0,
+    max_symbol_ratio=0.1, max_bullet_frac=0.9, max_ellipsis_frac=0.3,
+    min_alpha_frac=0.8, min_stop_hits=2,
+)
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """Gopher repetition-free quality rules (Rae et al. 2021): the
+    deterministic document-shape gates every modern web-corpus pipeline
+    reuses (Gopher -> MassiveText -> RefinedWeb -> Dolma/FineWeb):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (``#`` and ellipses), bullet-line and ellipsis-line fractions,
+    alphabetic-word fraction, and a minimum count of DISTINCT stopwords.
+
+    Output: per-doc metrics (rounded 6 dp), one boolean per rule, and
+    ``gopher_pass`` = AND of all rules.  Thresholds overridable by
+    keyword (defaults :data:`GOPHER_DEFAULTS`).
+
+    Scale shape: pure narrow JVM column expressions over the text --
+    no shuffle, no UDF, no state; composes with scan pruning like
+    `pii_redact`.
+    """
+    from .textstats import LANGS, STOPWORDS, tokens_col
+
+    th = dict(GOPHER_DEFAULTS)
+    unknown = set(thresholds) - set(th)
+    if unknown:
+        raise ValueError(f"unknown gopher thresholds: {sorted(unknown)}")
+    th.update(thresholds)
+
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_words = F.size(toks).cast("long")
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+        / safe_n, 6)
+    n_sym = (
+        F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+        + (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / F.lit(3)
+        + F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    )
+    sym_ratio = F.round(n_sym.cast("double") / safe_n, 6)
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    is_bullet = lambda l: (  # noqa: E731
+        F.ltrim(l).startswith("- ") | F.ltrim(l).startswith("* ")
+        | F.ltrim(l).startswith("•")
+    )
+    bullet_frac = F.round(
+        F.size(F.filter(lines, is_bullet)).cast("double") / n_lines, 6)
+    is_ell = lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…")  # noqa: E731
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, is_ell)).cast("double") / n_lines, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("double")
+        / safe_n, 6)
+    all_stop = F.array(*[F.lit(w) for lg in LANGS for w in STOPWORDS[lg]])
+    stop_hits = F.size(F.array_intersect(toks, all_stop)).cast("long")
+
+    flags = {
+        "ok_words": (n_words >= th["min_words"]) & (n_words <= th["max_words"]),
+        "ok_mean_len": (mean_wl >= th["min_mean_word_len"])
+        & (mean_wl <= th["max_mean_word_len"]),
+        "ok_symbols": sym_ratio <= th["max_symbol_ratio"],
+        "ok_bullets": bullet_frac <= th["max_bullet_frac"],
+        "ok_ellipsis": ellipsis_frac <= th["max_ellipsis_frac"],
+        "ok_alpha": alpha_frac >= th["min_alpha_frac"],
+        "ok_stop": stop_hits >= th["min_stop_hits"],
+    }
+    gopher_pass = F.lit(True)
+    for f in flags.values():
+        gopher_pass = gopher_pass & f
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"), mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"), bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"), alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        *[c.alias(n) for n, c in flags.items()],
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
+def gopher_rules_sql(text: str, **thresholds) -> dict[str, str]:
+    """DuckDB twin expressions for :func:`gopher_rules`, same names."""
+    from .textstats import LANGS, STOPWORDS, tokens_sql
+
+    th = dict(GOPHER_DEFAULTS)
+    th.update(thresholds)
+    toks = tokens_sql(text)
+    n_words = f"CAST(length({toks}) AS BIGINT)"
+    safe_n = f"greatest({n_words}, 1)"
+    wl_sum = (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform({toks}, w -> length(w)::BIGINT)), (a,b) -> a + b)"
+    )
+    mean_wl = f"round({wl_sum} * 1.0 / {safe_n}, 6)"
+    # chr(8230) = the Unicode ellipsis character (ASCII-only SQL text)
+    n_sym = (
+        f"(length({text}) - length(replace({text}, '#', ''))"
+        f" + (length({text}) - length(replace({text}, '...', ''))) / 3"
+        f" + length({text}) - length(replace({text}, chr(8230), '')))"
+    )
+    sym_ratio = f"round(CAST({n_sym} AS DOUBLE) / {safe_n}, 6)"
+    lines = f"string_split({text}, chr(10))"
+    n_lines = f"greatest(length({lines}), 1)"
+    bullet = (
+        f"length(list_filter({lines}, l -> starts_with(ltrim(l), '- ')"
+        f" OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), chr(8226))))"
+    )
+    bullet_frac = f"round(CAST({bullet} AS DOUBLE) / {n_lines}, 6)"
+    ell = (
+        f"length(list_filter({lines}, l -> ends_with(rtrim(l), '...')"
+        f" OR ends_with(rtrim(l), chr(8230))))"
+    )
+    ellipsis_frac = f"round(CAST({ell} AS DOUBLE) / {n_lines}, 6)"
+    alpha = (
+        f"length(list_filter({toks}, w -> regexp_matches(w, '[a-z]')))"
+    )
+    alpha_frac = f"round(CAST({alpha} AS DOUBLE) / {safe_n}, 6)"
+    all_stop = "[" + ", ".join(
+        f"'{w}'" for lg in LANGS for w in STOPWORDS[lg]
+    ) + "]"
+    stop_hits = (
+        f"CAST(length(list_distinct(list_filter({toks},"
+        f" t -> list_contains({all_stop}, t)))) AS BIGINT)"
+    )
+    flags = {
+        "ok_words": f"({n_words} >= {th['min_words']} AND {n_words} <= {th['max_words']})",
+        "ok_mean_len": f"({mean_wl} >= {th['min_mean_word_len']} AND {mean_wl} <= {th['max_mean_word_len']})",
+        "ok_symbols": f"({sym_ratio} <= {th['max_symbol_ratio']})",
+        "ok_bullets": f"({bullet_frac} <= {th['max_bullet_frac']})",
+        "ok_ellipsis": f"({ellipsis_frac} <= {th['max_ellipsis_frac']})",
+        "ok_alpha": f"({alpha_frac} >= {th['min_alpha_frac']})",
+        "ok_stop": f"({stop_hits} >= {th['min_stop_hits']})",
+    }
+    out = {
+        "n_words": n_words, "mean_word_len": mean_wl,
+        "symbol_ratio": sym_ratio, "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac, "alpha_frac": alpha_frac,
+        "stop_hits": stop_hits, **flags,
+        "gopher_pass": "(" + " AND ".join(flags.values()) + ")",
+    }
+    return out

@@ -261,3 +261,58 @@ def test_ccnet_buckets_langs_are_independent(spark):
     out = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(df).collect()}
     assert out[3] == "head"
     assert set(out) == {0, 1, 2, 3}
+
+
+# ----------------------------------------------------------- gopher_rules
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from osmnetfusion_spark.operators.cleaning import gopher_rules
+
+    good = ("the cat and the dog sat close to the mat in a warm room that "
+            "was quite nice for all of them to rest and sleep deeply")
+    rows = [
+        (0, good),                                   # passes everything
+        (1, "too short for the gate"),               # ok_words fails
+        (2, "# # # " * 20 + good),                   # symbol ratio fails
+        (3, "- a\n- b\n- c\n- d", ),                 # bullets fail (+words)
+        (4, good.replace(" ", "... ")),              # ellipsis-symbols fail
+        (5, " ".join("9" * 3 for _ in range(40))),   # alpha + stop fail
+    ]
+    rows = [(i, t if isinstance(t, str) else t[0]) for i, t in
+            [(r[0], r[1]) for r in rows]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[0]["gopher_pass"] is True
+    assert out[1]["ok_words"] is False and out[1]["gopher_pass"] is False
+    assert out[2]["ok_symbols"] is False
+    assert out[3]["bullet_frac"] == 1.0 and out[3]["ok_bullets"] is False
+    assert out[4]["ok_symbols"] is False
+    assert out[5]["ok_alpha"] is False and out[5]["ok_stop"] is False
+
+
+def test_gopher_rules_ellipsis_lines(spark):
+    from osmnetfusion_spark.operators.cleaning import gopher_rules
+
+    df = spark.createDataFrame(
+        [(1, "first line...\nsecond line...\nthird stays")],
+        "doc_id long, text string",
+    )
+    row = gopher_rules(df).collect()[0]
+    assert row["ellipsis_frac"] == round(2 / 3, 6)
+    assert row["ok_ellipsis"] is False
+
+
+def test_gopher_rules_unknown_threshold_raises(spark):
+    from osmnetfusion_spark.operators.cleaning import gopher_rules
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        gopher_rules(df, min_wordz=3)
+
+
+def test_gopher_rules_shuffle_free(spark):
+    from osmnetfusion_spark.operators.cleaning import gopher_rules
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assert "Exchange" not in _plan(gopher_rules(df))
