@@ -3448,13 +3448,23 @@ def q_span_dedup(spark, sf_dir):
 
 def _span_dedup_sql() -> str:
     toks = textstats.tokens_sql("text")
-    wkey = textstats.poly_hash64_sql(
-        f"array_to_string(list_slice(w, i, i + {SPAN_W - 1}), chr(31))"
+    m1, b1 = textstats.POLY_MOD, textstats.POLY_BASE
+    m2, b2 = textstats.POLY_MOD2, textstats.POLY_BASE2
+    sl = f"list_slice(th, i, i + {SPAN_W - 1})"
+    r1 = (
+        f"list_reduce(list_prepend(0::BIGINT, {sl}),"
+        f" (a, h) -> (a * {b1} + h % {m1}) % {m1})"
     )
+    r2 = (
+        f"list_reduce(list_prepend(0::BIGINT, {sl}),"
+        f" (a, h) -> (a * {b2} + h % {m2}) % {m2})"
+    )
+    tokh = "list_transform(w, t -> " + textstats.poly_hash64_sql("t") + ")"
     return f"""
-  WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+  WITH t0 AS (SELECT doc_id, {toks} AS w FROM documents),
+  t AS (SELECT doc_id, w, {tokh} AS th FROM t0),
   win AS (
-    SELECT doc_id, {wkey} AS wkey
+    SELECT doc_id, ({r1}) * {m2}::BIGINT + ({r2}) AS wkey
     FROM t, unnest(range(1, len(w) - {SPAN_W - 2})) AS r(i)),
   c AS (SELECT wkey, count(*) AS occ FROM win GROUP BY 1)
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,

@@ -23,8 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .textstats import (
-    POLY_BASE, POLY_MOD, poly_hash, poly_hash64, poly_hash_sql, tokens_col,
-    tokens_sql,
+    POLY_BASE, POLY_BASE2, POLY_MOD, POLY_MOD2, poly_hash, poly_hash64,
+    poly_hash_sql, tokens_col, tokens_sql,
 )
 
 # deterministic affine MinHash parameters (public constants, any odd a works)
@@ -567,11 +567,64 @@ def span_dedup(
     toks = tokens_col(F.col(text_col))
     n = F.size(toks)
     nw = n - (w - 1)
-    win_str = lambda i: F.concat_ws("\x1f", F.slice(toks, i, w))  # noqa: E731
-    key = (lambda i: win_str(i)) if exact else (lambda i: poly_hash64(win_str(i)))
-    wins = F.when(
-        nw >= 1, F.transform(F.sequence(F.lit(1), nw), key)
-    ).otherwise(F.array().cast("array<string>" if exact else "array<long>"))
+    if exact:
+        key = lambda i: F.concat_ws("\x1f", F.slice(toks, i, w))  # noqa: E731
+        wins = F.when(
+            nw >= 1, F.transform(F.sequence(F.lit(1), nw), key)
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        # True Rabin-Karp rolling hash, ONE O(n) fold per document: hash
+        # each token once, then slide the two polynomial residues
+        # incrementally -- subtract the outgoing token's contribution
+        # (times b^(w-1), a Python-precomputed mod-pow literal), shift,
+        # add the incoming token. The r4 shape re-hashed every character
+        # of every window (w x redundant work -- q_span_dedup was 28 s of
+        # a 120 s contract vector at sf0.1), and the naive "hash tokens
+        # then re-fold each window slice" fix is QUADRATIC under Catalyst
+        # (the token-hash array inlines into every window's slice).
+        # A single `aggregate` consumes the token-hash array once; the
+        # accumulator carries the last-w ring, both residues, and the
+        # emitted keys. Result values are IDENTICAL to the direct
+        # per-window fold (modular arithmetic identity), which is what
+        # the DuckDB oracle computes.
+        m1, b1 = POLY_MOD, POLY_BASE
+        m2, b2 = POLY_MOD2, POLY_BASE2
+        bw1 = pow(b1, w - 1, m1)
+        bw2 = pow(b2, w - 1, m2)
+        tokh = F.transform(toks, lambda t: poly_hash64(t))
+        zero = F.struct(
+            F.array().cast("array<long>").alias("ring"),
+            F.lit(0).cast("long").alias("r1"),
+            F.lit(0).cast("long").alias("r2"),
+            F.array().cast("array<long>").alias("keys"),
+        )
+
+        def step(acc, h):
+            ring, r1, r2, keys = acc["ring"], acc["r1"], acc["r2"], acc["keys"]
+            hm1, hm2 = h % m1, h % m2
+            full = F.size(ring) >= w
+            out = F.element_at(ring, 1)
+            n_r1 = F.when(
+                full,
+                (F.pmod(r1 - (out % m1) * bw1 % m1, m1) * b1 + hm1) % m1,
+            ).otherwise((r1 * b1 + hm1) % m1)
+            n_r2 = F.when(
+                full,
+                (F.pmod(r2 - (out % m2) * bw2 % m2, m2) * b2 + hm2) % m2,
+            ).otherwise((r2 * b2 + hm2) % m2)
+            n_ring = F.when(
+                full, F.concat(F.slice(ring, 2, w - 1), F.array(h))
+            ).otherwise(F.concat(ring, F.array(h)))
+            kk = n_r1 * F.lit(m2).cast("long") + n_r2
+            n_keys = F.when(
+                F.size(n_ring) >= w, F.concat(keys, F.array(kk))
+            ).otherwise(keys)
+            return F.struct(
+                n_ring.alias("ring"), n_r1.alias("r1"), n_r2.alias("r2"),
+                n_keys.alias("keys"),
+            )
+
+        wins = F.aggregate(tokh, zero, step, lambda acc: acc["keys"])
     exploded = docs.select(
         F.col(id_col).alias("__did"), F.explode(wins).alias("wkey")
     )
