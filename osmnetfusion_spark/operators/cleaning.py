@@ -106,9 +106,14 @@ def ccnet_buckets(
     with >= 2 word tokens.
 
     Scale shape: lm_score's groupBys + one histogram-quantile pass per
-    language (bounded by distinct rounded NLL values) + one
-    lang-keyed equi-join of per-doc rows against a #langs-row threshold
-    table (AQE broadcasts it).  No window over docs, no driver loop.
+    language + one lang-keyed equi-join of per-doc rows against a
+    #langs-row threshold table (AQE broadcasts it).  No window over
+    docs, no driver loop.  The quantile histogram's per-language state
+    is bounded by the DISTINCT 6dp-rounded NLL values, and NLL is
+    physically bounded (~[0, 30] nats for any real corpus/vocab), so
+    the histogram caps at ~3e7 rows per language INDEPENDENT of corpus
+    size -- the grouped_quantiles "bucket first" precondition holds by
+    construction here.
     """
     from .textstats import lm_score
     from .quantiles import grouped_quantiles
