@@ -3685,11 +3685,27 @@ def _gopher_sql() -> str:
 Q_GOPHER_RULES_SQL = _gopher_sql()
 
 
+PHRASE = ["table", "value"]
+
+
+def q_phrase_search(spark, sf_dir):
+    """Positional inverted-index phrase lookup (operators/textstats.
+    phrase_search): documents containing the exact 2-token phrase, with
+    occurrence count and first position -- the position-exact
+    contamination probe."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.phrase_search(d, PHRASE)
+
+
+Q_PHRASE_SEARCH_SQL = textstats.phrase_search_sql(PHRASE)
+
+
 QUERIES = {
     # -- window: zero prior driver coverage (new in round 5) ---------------
     "q_pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "q_ccnet_buckets": (q_ccnet_buckets, Q_CCNET_BUCKETS_SQL),
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
+    "q_phrase_search": (q_phrase_search, Q_PHRASE_SEARCH_SQL),
     "q_cdc_chunks": (q_cdc_chunks, Q_CDC_CHUNKS_SQL),
     "q_tfidf_topk": (q_tfidf_topk, Q_TFIDF_SQL),
     "q_pii_redact": (q_pii_redact, Q_PII_REDACT_SQL),
@@ -3711,7 +3727,6 @@ QUERIES = {
     "q_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
     # -- window: r4-only green, unchanged (second green round) -------------
     "q_corpus_curation": (q_corpus_curation, Q_CORPUS_CURATION_SQL),
-    "q_dedup_pipeline": (q_dedup_pipeline, Q_DEDUP_PIPELINE_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_extract_text": (q_extract_text, Q_EXTRACT_TEXT_SQL),
     # -- window: last driver row r3 (pre-refactor) -- VERDICT r4 #3 --------
@@ -3749,6 +3764,7 @@ QUERIES = {
     "q_connected_components": (q_connected_components, Q_CONNECTED_COMPONENTS_SQL),
     "q_pbf_roundtrip": (q_pbf_roundtrip, Q_PBF_ROUNDTRIP_SQL),
     "q_ann_lsh_multitable": (q_ann_lsh_multitable, Q_ANN_LSH_MT_SQL),
+    "q_dedup_pipeline": (q_dedup_pipeline, Q_DEDUP_PIPELINE_SQL),
     "q_cycleway_precedence": (q_cycleway_precedence, Q_CYCLEWAY_PRECEDENCE_SQL),
     "q_tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
     "q_signal_snap": (q_signal_snap, Q_SIGNAL_SNAP_SQL),

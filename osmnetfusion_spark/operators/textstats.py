@@ -775,3 +775,83 @@ def bpe_encode(
     return tok.select(
         F.col(doc_id), "toks", F.size("toks").cast("int").alias("n_tokens")
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase lookup via a positional posting join (the inverted-
+    index retrieval shape; complements the bag-of-words `bm25_topk` and
+    the n-gram `contamination` screen with POSITION-exact matching --
+    "which documents contain this benchmark sentence verbatim, and
+    where").
+
+    Builds postings ``(doc, pos)`` for each phrase term and equi-joins
+    them at consecutive offsets; a k-term phrase = k posting scans and
+    k-1 joins on ``(doc, pos)``.  Output: ``(doc_id, n_occurrences,
+    first_pos)`` for documents containing the phrase at least once.
+
+    Scale shape: the posting build pushes ``term IN phrase`` down to the
+    explode (only matching tokens survive -- postings are
+    O(phrase-term frequency), not O(corpus tokens)); each join is an
+    equi-join on the composite (doc, adjusted pos) key with AQE free to
+    broadcast rare-term sides; the per-doc reduce is one combinable
+    agg.  No window, no UDF, no full-text rescan per query.
+    """
+    if not phrase:
+        raise ValueError("phrase_search needs at least one term")
+    toks = tokens_col(F.col(text_col))
+    post = docs.select(
+        F.col(doc_id).alias("__did"), F.posexplode(toks).alias("pos", "term")
+    )
+    terms = list(phrase)
+    hits = (
+        post.where(F.col("term") == terms[0])
+        .select("__did", F.col("pos").alias("p0"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = post.where(F.col("term") == t).select(
+            F.col("__did").alias(f"__d{i}"), (F.col("pos") - i).alias(f"__p{i}")
+        )
+        hits = hits.join(
+            nxt,
+            (F.col("__did") == F.col(f"__d{i}"))
+            & (F.col("p0") == F.col(f"__p{i}")),
+        ).select("__did", "p0")
+    return (
+        hits.groupBy("__did")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("p0").cast("long").alias("first_pos"),
+        )
+        .select(F.col("__did").alias(doc_id), "n_occurrences", "first_pos")
+    )
+
+
+def phrase_search_sql(phrase: list[str], text: str = "text") -> str:
+    """DuckDB twin: same postings + consecutive-offset joins (0-indexed
+    positions to match posexplode)."""
+    toks = tokens_sql(text)
+    joins, conds = [], []
+    for i, t in enumerate(phrase):
+        esc = t.replace("'", "''")
+        joins.append(
+            f"(SELECT doc_id, i - 1 - {i} AS p0 FROM t,"
+            f" unnest(range(1, len(w) + 1)) r(i)"
+            f" WHERE w[i] = '{esc}') h{i}"
+        )
+        if i:
+            conds.append(f"h0.doc_id = h{i}.doc_id AND h0.p0 = h{i}.p0")
+    join_sql = joins[0] if len(phrase) == 1 else " JOIN ".join(
+        [joins[0]] + [f"{j} ON {c}" for j, c in zip(joins[1:], conds)]
+    )
+    return f"""
+  WITH t AS (SELECT doc_id, {toks} AS w FROM documents)
+  SELECT h0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(min(h0.p0) AS BIGINT) AS first_pos
+  FROM {join_sql}
+  GROUP BY 1
+"""

@@ -316,3 +316,47 @@ def test_gopher_rules_shuffle_free(spark):
 
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     assert "Exchange" not in _plan(gopher_rules(df))
+
+
+# --------------------------------------------------------- phrase_search
+
+
+def test_phrase_search_hand_example(spark):
+    from osmnetfusion_spark.operators.textstats import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "big table value small table value end"),
+            (1, "table alone and value alone"),
+            (2, "table value"),
+            (3, "value table"),  # reversed -> no match
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           phrase_search(docs, ["table", "value"]).collect()}
+    assert set(out) == {0, 2}
+    assert out[0]["n_occurrences"] == 2 and out[0]["first_pos"] == 1
+    assert out[2]["n_occurrences"] == 1 and out[2]["first_pos"] == 0
+
+
+def test_phrase_search_single_term_and_validation(spark):
+    from osmnetfusion_spark.operators.textstats import phrase_search
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in phrase_search(docs, ["a"]).collect()}
+    assert out[0]["n_occurrences"] == 2 and 1 not in out
+    with pytest.raises(ValueError):
+        phrase_search(docs, [])
+
+
+def test_phrase_search_pushes_term_filter_into_postings(spark):
+    from osmnetfusion_spark.operators.textstats import phrase_search
+
+    docs = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    plan = _plan(phrase_search(docs, ["x", "y"]))
+    # postings must be filtered by term BEFORE the position join -- the
+    # index property that keeps postings O(term frequency), not O(corpus)
+    assert "Filter" in plan and "Join" in plan
