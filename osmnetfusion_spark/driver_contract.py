@@ -3701,7 +3701,13 @@ Q_PHRASE_SEARCH_SQL = textstats.phrase_search_sql(PHRASE)
 
 
 QUERIES = {
-    # -- window: zero prior driver coverage (new in round 5) ---------------
+    # Round-6 rotation policy (test_driver_window_rotation): the driver's
+    # correctness gate samples the FIRST 50 entries, so the window must hold
+    # (a) every query with <= 1 prior driver-green round -- after the r6
+    # record lands their only green would otherwise go stale -- and (b) the
+    # entries whose newest green row is oldest. Everything rotated out has
+    # >= 2 prior green rounds.
+    # -- window: single r5 green (re-green so the row stays fresh) ---------
     "q_pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "q_ccnet_buckets": (q_ccnet_buckets, Q_CCNET_BUCKETS_SQL),
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
@@ -3714,10 +3720,49 @@ QUERIES = {
     "q_span_dedup": (q_span_dedup, Q_SPAN_DEDUP_SQL),
     "q_length_quantiles": (q_length_quantiles, Q_LENGTH_QUANTILES_SQL),
     "q_license_asof": (q_license_asof, Q_LICENSE_ASOF_SQL),
-    "q_bpe_merges": (q_bpe_merges, None),
+    "q_bpe_merges": (q_bpe_merges, None),  # rows-only: stays in-window
     "q_pmi_phrases": (q_pmi_phrases, Q_PMI_PHRASES_SQL),
     "q_semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
-    # -- window: r4-only green, operator changed in round 5 ----------------
+    # -- window: single r4 green (the four VERDICT r5 #1 flagged + none) ---
+    "q_asof_join": (q_asof_join, Q_ASOF_JOIN_SQL),
+    "q_asof_forward": (q_asof_forward, Q_ASOF_FORWARD_SQL),
+    "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
+    "q_ann_lsh_multitable": (q_ann_lsh_multitable, Q_ANN_LSH_MT_SQL),
+    # -- window: 2 greens, newest r4 (oldest current evidence) -------------
+    "q_pbf_roundtrip": (q_pbf_roundtrip, Q_PBF_ROUNDTRIP_SQL),
+    "q_dedup_pipeline": (q_dedup_pipeline, Q_DEDUP_PIPELINE_SQL),
+    "q_cluster_kmeans": (q_cluster_kmeans, Q_CLUSTER_KMEANS_SQL),
+    "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
+    "q_vocab_topk": (q_vocab_topk, Q_VOCAB_TOPK_SQL),
+    "q_repetition": (q_repetition, _q_repetition_sql()),
+    "q_url_canonical": (q_url_canonical, Q_URL_CANONICAL_SQL),
+    "q_mode_access": (q_mode_access, Q_MODE_ACCESS_SQL),
+    "q_merge_folds": (q_merge_folds, Q_MERGE_FOLDS_SQL),
+    "q_overlap_pairs": (q_overlap_pairs, Q_OVERLAP_PAIRS_SQL),
+    "q_split_in_buffers": (q_split_in_buffers, Q_SPLIT_IN_BUFFERS_SQL),
+    "q_reassign": (q_reassign, Q_REASSIGN_SQL),
+    "q_merge_nodes": (q_merge_nodes, Q_MERGE_NODES_SQL),
+    "q_finalize": (q_finalize, Q_FINALIZE_SQL),
+    "q_width_join": (q_width_join, Q_WIDTH_JOIN_SQL),
+    "q_buffer_radius": (q_buffer_radius, _q_buffer_radius_sql()),
+    "q_sessionize_batch": (q_sessionize_batch, Q_SESSIONIZE_SQL),
+    "q_amenity_radius": (q_amenity_radius, Q_AMENITY_RADIUS_SQL),
+    # -- window: 3 greens, newest r4 ---------------------------------------
+    "q_connected_components": (q_connected_components, Q_CONNECTED_COMPONENTS_SQL),
+    "q_cycleway_precedence": (q_cycleway_precedence, Q_CYCLEWAY_PRECEDENCE_SQL),
+    "q_tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
+    "q_signal_snap": (q_signal_snap, Q_SIGNAL_SNAP_SQL),
+    "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
+    "q_split_curves": (q_split_curves, Q_SPLIT_CURVES_SQL),
+    "q_frequency_filter": (q_frequency_filter, Q_FREQUENCY_FILTER_SQL),
+    "q_id_densify": (q_id_densify, Q_ID_DENSIFY_SQL),
+    # -- window: 4 greens, newest r4 ---------------------------------------
+    "q_pricing_summary": (q_pricing_summary, Q_PRICING_SUMMARY_SQL),
+    "q_top2_orders_per_customer": (q_top2_orders_per_customer, Q_TOP2_SQL),
+    "q_region_rollup": (q_region_rollup, Q_REGION_ROLLUP_SQL),
+    "q_customers_without_orders": (q_customers_without_orders, Q_NO_ORDERS_SQL),
+    "q_listify_sources": (q_listify_sources, Q_LISTIFY_SQL),
+    # -- tail: >= 2 greens incl. a fresh r5 row ----------------------------
     "q_bpe_pairs": (q_bpe_pairs, Q_BPE_PAIRS_SQL),
     "q_line_dedup": (q_line_dedup, Q_LINE_DEDUP_SQL),
     "q_pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
@@ -3725,11 +3770,9 @@ QUERIES = {
     "q_weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
     "q_pbf_relations": (q_pbf_relations, Q_PBF_RELATIONS_SQL),
     "q_media_decode": (q_media_decode, Q_MEDIA_DECODE_SQL),
-    # -- window: r4-only green, unchanged (second green round) -------------
     "q_corpus_curation": (q_corpus_curation, Q_CORPUS_CURATION_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_extract_text": (q_extract_text, Q_EXTRACT_TEXT_SQL),
-    # -- window: last driver row r3 (pre-refactor) -- VERDICT r4 #3 --------
     "q_pip_count": (q_pip_count, Q_PIP_COUNT_SQL),
     "q_tile_edge_assignment": (q_tile_edge_assignment, Q_TILE_EDGE_SQL),
     "q_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
@@ -3755,46 +3798,7 @@ QUERIES = {
     "q_clean_values": (q_clean_values, Q_CLEAN_VALUES_SQL),
     "q_intersection_length": (q_intersection_length, Q_ISECT_LEN_SQL),
     "q_parking_union": (q_parking_union, Q_PARKING_UNION_SQL),
-    # -- tail: rotated out on a LATEST-round (r4) green row ----------------
-    # (the temporal trio + CC: r4-green and their implementing modules are
-    # untouched since that run, so the r4 row is current evidence)
-    "q_asof_join": (q_asof_join, Q_ASOF_JOIN_SQL),
-    "q_asof_forward": (q_asof_forward, Q_ASOF_FORWARD_SQL),
-    "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
-    "q_connected_components": (q_connected_components, Q_CONNECTED_COMPONENTS_SQL),
-    "q_pbf_roundtrip": (q_pbf_roundtrip, Q_PBF_ROUNDTRIP_SQL),
-    "q_ann_lsh_multitable": (q_ann_lsh_multitable, Q_ANN_LSH_MT_SQL),
-    "q_dedup_pipeline": (q_dedup_pipeline, Q_DEDUP_PIPELINE_SQL),
-    "q_cycleway_precedence": (q_cycleway_precedence, Q_CYCLEWAY_PRECEDENCE_SQL),
-    "q_tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
-    "q_signal_snap": (q_signal_snap, Q_SIGNAL_SNAP_SQL),
-    "q_cluster_kmeans": (q_cluster_kmeans, Q_CLUSTER_KMEANS_SQL),
-    "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
-    "q_split_curves": (q_split_curves, Q_SPLIT_CURVES_SQL),
-    "q_frequency_filter": (q_frequency_filter, Q_FREQUENCY_FILTER_SQL),
-    "q_id_densify": (q_id_densify, Q_ID_DENSIFY_SQL),
-    # -- tail: green in r3+r4 ----------------------------------------------
-    "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
-    "q_vocab_topk": (q_vocab_topk, Q_VOCAB_TOPK_SQL),
-    "q_repetition": (q_repetition, _q_repetition_sql()),
-    "q_url_canonical": (q_url_canonical, Q_URL_CANONICAL_SQL),
-    "q_mode_access": (q_mode_access, Q_MODE_ACCESS_SQL),
-    "q_merge_folds": (q_merge_folds, Q_MERGE_FOLDS_SQL),
-    "q_overlap_pairs": (q_overlap_pairs, Q_OVERLAP_PAIRS_SQL),
-    "q_split_in_buffers": (q_split_in_buffers, Q_SPLIT_IN_BUFFERS_SQL),
-    "q_reassign": (q_reassign, Q_REASSIGN_SQL),
-    "q_merge_nodes": (q_merge_nodes, Q_MERGE_NODES_SQL),
-    "q_finalize": (q_finalize, Q_FINALIZE_SQL),
-    "q_width_join": (q_width_join, Q_WIDTH_JOIN_SQL),
-    "q_buffer_radius": (q_buffer_radius, _q_buffer_radius_sql()),
-    "q_sessionize_batch": (q_sessionize_batch, Q_SESSIONIZE_SQL),
-    "q_amenity_radius": (q_amenity_radius, Q_AMENITY_RADIUS_SQL),
-    # -- tail: green in r2+r3+r4 -------------------------------------------
-    "q_pricing_summary": (q_pricing_summary, Q_PRICING_SUMMARY_SQL),
-    "q_top2_orders_per_customer": (q_top2_orders_per_customer, Q_TOP2_SQL),
-    "q_region_rollup": (q_region_rollup, Q_REGION_ROLLUP_SQL),
-    "q_customers_without_orders": (q_customers_without_orders, Q_NO_ORDERS_SQL),
-    "q_listify_sources": (q_listify_sources, Q_LISTIFY_SQL),
+    # -- tail: 4 greens, newest r4 -----------------------------------------
     "q_weighted_avg": (q_weighted_avg, Q_WEIGHTED_AVG_SQL),
     "q_rank_lookup": (q_rank_lookup, Q_RANK_LOOKUP_SQL),
     "q_events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
