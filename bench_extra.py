@@ -40,6 +40,7 @@ def main() -> None:
     ap.add_argument("--plans", default=None, help="directory for explain dumps")
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--noop", action="store_true", help="also time a noop-sink pass")
+    ap.add_argument("--plan-only", action="store_true", help="dump plans, skip timing")
     args = ap.parse_args()
 
     spark = get_session(app_name="osmnetfusion-bench-extra")
@@ -51,20 +52,22 @@ def main() -> None:
     out: dict[str, dict] = {}
     for name in args.queries:
         fn = DC.QUERIES[name][0]
-        spark.sparkContext.setJobDescription(f"warmup:{name}")
-        n_rows = fn(spark, args.sf_dir).count()  # untimed warm-up
-        runs = []
-        for i in range(args.repeats):
-            spark.sparkContext.setJobDescription(f"timed:{name}:{i}")
-            t0 = time.time()
-            fn(spark, args.sf_dir).count()
-            runs.append(time.time() - t0)
-        rec = {
-            "sec": round(min(runs), 3),
-            "noise": round(max(runs) / max(min(runs), 1e-9), 2),
-            "rows": n_rows,
-        }
-        if args.noop:
+        rec: dict = {}
+        if not args.plan_only:
+            spark.sparkContext.setJobDescription(f"warmup:{name}")
+            n_rows = fn(spark, args.sf_dir).count()  # untimed warm-up
+            runs = []
+            for i in range(args.repeats):
+                spark.sparkContext.setJobDescription(f"timed:{name}:{i}")
+                t0 = time.time()
+                fn(spark, args.sf_dir).count()
+                runs.append(time.time() - t0)
+            rec = {
+                "sec": round(min(runs), 3),
+                "noise": round(max(runs) / max(min(runs), 1e-9), 2),
+                "rows": n_rows,
+            }
+        if args.noop and not args.plan_only:
             spark.sparkContext.setJobDescription(f"noop:{name}")
             t0 = time.time()
             fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()

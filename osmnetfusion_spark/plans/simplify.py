@@ -23,6 +23,7 @@ parallel variant differs from its serial one; see ``p3_functions.py:529``).
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -209,32 +210,73 @@ def add_buffer_radius(nodes: DataFrame) -> DataFrame:
 
 
 def _overlap_pairs(nodes: DataFrame) -> DataFrame:
-    """Disk-overlap pairs: cell-local join, dist <= r1 + r2 (J12)."""
+    """Disk-overlap pairs: cell-local join, dist <= r1 + r2 (J12).
+
+    The expensive haversine runs only on candidates surviving two CHEAP
+    provable lower bounds on great-circle distance (guide §2.3 -- do less
+    work per candidate row; the 3x3-cell candidate set in a dense field is
+    ~20x the true pair count):
+
+    - latitude band: d >= R * |dphi|  (hav(d/R) >= hav(dphi), hav monotone)
+    - longitude band: d >= 2R * cos(phi_max) * (dl/2) * (1 - (dl/2)^2/6)
+      (asin x >= x, sin x >= x - x^3/6, cos phi_a * cos phi_b >=
+      cos^2 phi_max for |phi| <= 90; the bound goes negative -- i.e. keeps
+      the row -- for |dl|/2 > sqrt(6), so it is sound for any input)
+
+    Both are applied with a 0.1% slack factor and a +1 mm margin so float
+    rounding of the bound can never exclude a pair the exact haversine
+    filter would keep. No dedup pass: ``a`` carries each node once keyed
+    by its own cell and ``b``'s 9 dilated copies are 9 DISTINCT cell ids
+    (distinct offsets added to one base id), so a given (ia, ib) can meet
+    in at most one cell -- the former dropDuplicates was a full extra
+    shuffle of the (already unique) result.
+    """
     rmax = max(HIGHWAY_BUFFERS.values())
     res = h3idx.pick_res(2 * rmax)
+    # The 9-cell dilation rides the PROBE side: the compact (1-cell) side is
+    # what a broadcast build would hold, and the probe base is round-robin
+    # repartitioned to the cluster's parallelism FIRST -- a node table often
+    # arrives as one small scan split, and without this the entire
+    # candidates x haversine loop runs in one task (measured: the sf1.0
+    # contract run probed ~5.7e8 candidates nearly single-threaded).
+    # The offset set is symmetric, so dilating a instead of b pairs the
+    # exact same (ia, ib) set: cell_a + off == cell_b <=> cell_b - off ==
+    # cell_a, and each pair still meets in exactly one (cell_b, off).
+    par = max(int(nodes.sparkSession.sparkContext.defaultParallelism), 1)
+    offs = [dj * h3idx.SHIFT_J + di for dj in (-1, 0, 1) for di in (-1, 0, 1)]
     a = nodes.select(
         F.col("osmid").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya"),
         F.col("buf_r").alias("ra"),
-    ).withColumn("cell", h3idx.cell_col(F.col("ya"), F.col("xa"), res))
-    offs = [dj * h3idx.SHIFT_J + di for dj in (-1, 0, 1) for di in (-1, 0, 1)]
+    ).repartition(par).withColumn(
+        "cell",
+        F.explode(
+            F.array(*[h3idx.cell_col(F.col("ya"), F.col("xa"), res) + F.lit(o) for o in offs])
+        ),
+    )
     b = nodes.select(
         F.col("osmid").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb"),
         F.col("buf_r").alias("rb"),
-    ).withColumn(
-        "cell",
-        F.explode(
-            F.array(*[h3idx.cell_col(F.col("yb"), F.col("xb"), res) + F.lit(o) for o in offs])
-        ),
+    ).withColumn("cell", h3idx.cell_col(F.col("yb"), F.col("xb"), res))
+    rsum = F.col("ra") + F.col("rb") + F.lit(1e-3)
+    deg2m = geo.EARTH_RADIUS_M * math.pi / 180.0
+    lat_lb = F.abs(F.col("ya") - F.col("yb")) * F.lit(deg2m * 0.999)
+    half_dl = F.abs(F.radians(F.col("xa") - F.col("xb"))) * F.lit(0.5)
+    lon_lb = (
+        F.lit(2.0 * geo.EARTH_RADIUS_M * 0.999)
+        * F.cos(F.radians(F.greatest(F.abs(F.col("ya")), F.abs(F.col("yb")))))
+        * half_dl
+        * (F.lit(1.0) - half_dl * half_dl / F.lit(6.0))
     )
     return (
         a.join(b, "cell")
         .filter(F.col("ia") < F.col("ib"))
+        .filter(lat_lb <= rsum)
+        .filter(lon_lb <= rsum)
         .filter(
             geo.haversine_m(F.col("ya"), F.col("xa"), F.col("yb"), F.col("xb"))
             <= F.col("ra") + F.col("rb")
         )
         .select("ia", "ib", "xa", "ya", "xb", "yb")
-        .dropDuplicates(["ia", "ib"])
     )
 
 
