@@ -23,6 +23,7 @@ from .functions import geo, tags
 from .operators import (
     cleaning, dedup, graph, sampling, similarity, spatial, temporal, textstats,
 )
+from .operators.partitioning import fan_out
 from .operators.quantiles import grouped_quantiles
 from .plans import tiles
 
@@ -1255,7 +1256,7 @@ def q_minhash_bands(spark, sf_dir):
     version's nested HOFs are interpreted, measured 14 s for 5,000 docs);
     the eight affine re-hash minima then read the array column."""
     d = _t(spark, sf_dir, "documents")
-    base = d.select(
+    base = fan_out(d).select(
         "doc_id", dedup.shingle_hashes_fast(3)(F.col("text")).alias("__sh")
     ).filter(F.size("__sh") > 0)
 
@@ -3032,7 +3033,7 @@ def q_media_decode(spark, sf_dir):
                 rows.append((str(k), MM.encode_png(px, filter_type=k % 5)))
             yield pd_.DataFrame(rows, columns=["doc_id", "png"])
 
-    blobs = p.mapInPandas(build, schema="doc_id string, png binary")
+    blobs = fan_out(p).mapInPandas(build, schema="doc_id string, png binary")
     out = MM.decode_and_featurize(blobs, payload="png", id_col="doc_id", fake=False)
     return out.select(
         "doc_id", "width", "height",
@@ -3109,7 +3110,7 @@ def q_corpus_curation(spark, sf_dir):
     all_stop = F.array(
         *[F.lit(w) for lg in textstats.LANGS for w in textstats.STOPWORDS[lg]]
     )
-    scored = d.select(
+    scored = fan_out(d).select(
         "doc_id", "text",
         textstats.lang_id(F.col("text")).alias("lang_pred"),
         F.size(toks).cast("long").alias("n_tokens"),

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import fan_out
 from .textstats import (
     POLY_BASE, POLY_BASE2, POLY_MOD, POLY_MOD2, poly_hash, poly_hash64,
     poly_hash_sql, tokens_col, tokens_sql,
@@ -85,49 +86,21 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
 
 
 def shingle_hashes_fast(n: int = 3):
-    """Arrow-batched twin of :func:`shingle_hashes` -- same values, ~15x
-    faster.
+    """Arrow-batched twin of :func:`shingle_hashes` -- same values.
 
     The column version's nested higher-order functions (``transform`` /
     ``aggregate`` with a per-character lambda) are INTERPRETED by Catalyst,
     not whole-stage-codegen'd: measured ~2.8 ms/doc (14 s for 5,000 docs at
     sf0.1), which made the shingle kernel -- not the joins -- the dedup
-    bottleneck. This pandas UDF reproduces the exact integer arithmetic
-    (31-polynomial char hash, GRAM_BASE shingle fold, mod 1e9+7; Python
-    ints are exact), so DuckDB oracle parity is preserved value-for-value.
-    The column/SQL versions remain as the oracle-side definition.
+    bottleneck. The r6 version moves the arithmetic from per-character
+    Python loops to numpy vector ops with a module-level token-residue
+    memo (:mod:`._fasthash`, guide §4.2) -- exact uint64 integer
+    arithmetic, so DuckDB oracle parity stays value-for-value. The
+    column/SQL versions remain as the oracle-side definition.
     """
-    import re as _re
+    from ._fasthash import shingle_kernel
 
-    from pyspark.sql.functions import pandas_udf as _pandas_udf
-
-    tok_re = _re.compile(r"[^a-z0-9]+")
-
-    @_pandas_udf("array<long>")
-    def kernel(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            th = []
-            for tok in tok_re.split(("" if t is None else t).lower()):
-                if not tok:
-                    continue
-                h = 0
-                for ch in tok:
-                    h = (h * POLY_BASE + ord(ch)) % POLY_MOD
-                th.append(h)
-            if len(th) < n:
-                out.append([])
-                continue
-            grams = set()
-            for i in range(len(th) - n + 1):
-                g = 0
-                for j in range(i, i + n):
-                    g = (g * GRAM_BASE + th[j]) % POLY_MOD
-                grams.add(g)
-            out.append(sorted(grams))
-        return pd.Series(out)
-
-    return kernel
+    return shingle_kernel(n)
 
 
 def shingle_hashes_sql(text: str, n: int = 3) -> str:
@@ -174,39 +147,42 @@ def jaccard_pairs(
     """
     assert threshold > 0.0, "shared-shingle candidates require threshold > 0"
     base = (
-        df.select(
+        fan_out(df).select(
             F.col(id_col).alias("id"),
             (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
             shingle_hashes_fast(n)(F.col(text_col)).alias("sh"),
         )
         .filter(F.size("sh") > 0)
-        # referenced by the candidate explode AND both array join-backs:
-        # lazily checkpoint so the shingle kernel runs once, not 3x
-        # (eager=False: no job at plan-construction time; the three
-        # consumers share the one materialization inside the action)
+        # referenced by both sides of the shared-shingle self-join:
+        # lazily checkpoint so the shingle kernel runs once, not 2x
         .localCheckpoint(eager=False)
     )
     ex = base.select("id", "blk", F.size("sh").alias("sz"), F.explode("sh").alias("h"))
     a = ex.select(F.col("id").alias("id_a"), "blk", F.col("sz").alias("sz_a"), "h")
     b = ex.select(F.col("id").alias("id_b"), "blk", F.col("sz").alias("sz_b"), "h")
-    cand = (
+    # Shingle arrays are DISTINCT per doc, so a pair's matching-row count
+    # in the shared-shingle join IS |intersection| -- one map-side-
+    # combinable groupBy replaces the old dropDuplicates + two array
+    # join-backs + array_intersect (guide §2.3 "aggregate before you
+    # shuffle": the per-pair reduce collapses m-shared-shingle pairs to
+    # one row before the exchange; measured 3.3 s + 3.9 s of join-back
+    # work -> sub-second at 50k docs). Identical values: inter is the
+    # same integer, union = sz_a + sz_b - inter, same rounded double.
+    counted = (
         a.join(b, ["blk", "h"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.least("sz_a", "sz_b").cast("double")
             >= F.lit(float(threshold)) * F.greatest("sz_a", "sz_b").cast("double")
         )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    pairs = cand.join(
-        base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    inter = F.col("__inter")
+    union = F.col("sz_a") + F.col("sz_b") - inter
     jac = inter.cast("double") / union.cast("double")
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
+        counted.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -245,7 +221,8 @@ def contamination_check(
     """
     sh = shingle_hashes_fast(n)
     d = (
-        docs.select(F.col(doc_id).alias("__did"), sh(F.col(text_col)).alias("__sh"))
+        fan_out(docs)
+        .select(F.col(doc_id).alias("__did"), sh(F.col(text_col)).alias("__sh"))
         .filter(F.size("__sh") > 0)
         .select(
             "__did",
@@ -254,7 +231,8 @@ def contamination_check(
         )
     )
     b = (
-        benchmark.select(
+        fan_out(benchmark)
+        .select(
             F.col(bench_id).alias("__bid"), sh(F.col(bench_text_col)).alias("__sh")
         )
         .filter(F.size("__sh") > 0)
@@ -331,7 +309,7 @@ def lsh_candidate_pairs(
         return lambda h: (F.lit(a) * h + F.lit(b)) % POLY_MOD
 
     sigs = (
-        df.select(
+        fan_out(df).select(
             F.col(id_col).alias("id"),
             shingle_hashes_fast(n)(F.col(text_col)).alias("sh"),
         )
@@ -446,7 +424,7 @@ def simhash_pairs(
     block_col: str | None = "lang",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming."""
-    base = df.select(
+    base = fan_out(df).select(
         F.col(id_col).alias("id"),
         (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
         simhash(F.col(text_col)).alias("sh"),
@@ -494,7 +472,7 @@ def line_dedup(
     Reassembly is one grouped sort_array over (pos, line) structs.
     Documents whose every line is boilerplate drop out of the result.
     """
-    lines = docs.select(
+    lines = fan_out(docs).select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
     ).filter(F.col("line") != "")
     bad = (
@@ -573,59 +551,22 @@ def span_dedup(
             nw >= 1, F.transform(F.sequence(F.lit(1), nw), key)
         ).otherwise(F.array().cast("array<string>"))
     else:
-        # True Rabin-Karp rolling hash, ONE O(n) fold per document: hash
-        # each token once, then slide the two polynomial residues
-        # incrementally -- subtract the outgoing token's contribution
-        # (times b^(w-1), a Python-precomputed mod-pow literal), shift,
-        # add the incoming token. The r4 shape re-hashed every character
-        # of every window (w x redundant work -- q_span_dedup was 28 s of
-        # a 120 s contract vector at sf0.1), and the naive "hash tokens
-        # then re-fold each window slice" fix is QUADRATIC under Catalyst
-        # (the token-hash array inlines into every window's slice).
-        # A single `aggregate` consumes the token-hash array once; the
-        # accumulator carries the last-w ring, both residues, and the
-        # emitted keys. Result values are IDENTICAL to the direct
-        # per-window fold (modular arithmetic identity), which is what
-        # the DuckDB oracle computes.
-        m1, b1 = POLY_MOD, POLY_BASE
-        m2, b2 = POLY_MOD2, POLY_BASE2
-        bw1 = pow(b1, w - 1, m1)
-        bw2 = pow(b2, w - 1, m2)
-        tokh = F.transform(toks, lambda t: poly_hash64(t))
-        zero = F.struct(
-            F.array().cast("array<long>").alias("ring"),
-            F.lit(0).cast("long").alias("r1"),
-            F.lit(0).cast("long").alias("r2"),
-            F.array().cast("array<long>").alias("keys"),
-        )
+        # r6: the window keys come from a numpy-vectorized Arrow kernel
+        # (:func:`._fasthash.window_keys_np`) -- a direct windowed fold
+        # of the per-token poly64 residues as uint64 slice arithmetic.
+        # History: the r4 shape re-hashed every character of every window
+        # (28 s at sf0.1); r5 replaced it with a Catalyst ``aggregate``
+        # Rabin-Karp rolling fold (4.9 s) -- but Catalyst higher-order
+        # functions are INTERPRETED, and the struct-accumulator fold
+        # still cost ~32 s of the sf1.0 vector. The kernel computes
+        # IDENTICAL values (modular-arithmetic identity with the rolling
+        # fold; pinned by the DuckDB oracle, which computes the direct
+        # per-window fold) at numpy speed, with token residues memoized
+        # across batches (guide §4.2/§4.5).
+        from ._fasthash import span_keys_kernel
 
-        def step(acc, h):
-            ring, r1, r2, keys = acc["ring"], acc["r1"], acc["r2"], acc["keys"]
-            hm1, hm2 = h % m1, h % m2
-            full = F.size(ring) >= w
-            out = F.element_at(ring, 1)
-            n_r1 = F.when(
-                full,
-                (F.pmod(r1 - (out % m1) * bw1 % m1, m1) * b1 + hm1) % m1,
-            ).otherwise((r1 * b1 + hm1) % m1)
-            n_r2 = F.when(
-                full,
-                (F.pmod(r2 - (out % m2) * bw2 % m2, m2) * b2 + hm2) % m2,
-            ).otherwise((r2 * b2 + hm2) % m2)
-            n_ring = F.when(
-                full, F.concat(F.slice(ring, 2, w - 1), F.array(h))
-            ).otherwise(F.concat(ring, F.array(h)))
-            kk = n_r1 * F.lit(m2).cast("long") + n_r2
-            n_keys = F.when(
-                F.size(n_ring) >= w, F.concat(keys, F.array(kk))
-            ).otherwise(keys)
-            return F.struct(
-                n_ring.alias("ring"), n_r1.alias("r1"), n_r2.alias("r2"),
-                n_keys.alias("keys"),
-            )
-
-        wins = F.aggregate(tokh, zero, step, lambda acc: acc["keys"])
-    exploded = docs.select(
+        wins = span_keys_kernel(w)(F.col(text_col))
+    exploded = fan_out(docs).select(
         F.col(id_col).alias("__did"), F.explode(wins).alias("wkey")
     )
     cnts = exploded.groupBy("wkey").agg(F.count(F.lit(1)).alias("occ"))
@@ -682,34 +623,20 @@ def cdc_chunks(
     """
     if avg < 2:
         raise ValueError(f"target average chunk length must be >= 2, got {avg}")
-    from pyspark.sql import Window
+    # r6: chunking is decided entirely WITHIN a document, so the old
+    # posexplode -> per-doc window cumsum -> groupBy collect_list plan
+    # (two shuffles of ~n_tokens rows) is replaced by a per-row numpy
+    # kernel that tokenizes, splits at content boundaries (h1 % avg == 0
+    # after a token) and emits each chunk's poly64 key directly
+    # (:func:`._fasthash.cdc_keys_np` -- same boundary rule, same join
+    # string, same hash grammar; oracle-pinned). The only remaining
+    # shuffles are the corpus-wide occurrence count and the attribution
+    # join, both unavoidable (guide §2.4: remove shuffles outright).
+    from ._fasthash import cdc_keys_kernel
 
-    toks = tokens_col(F.col(text_col))
-    tok = docs.select(
-        F.col(id_col).alias("__did"), F.posexplode(toks).alias("pos", "tok")
-    )
-    bnd = (poly_hash(F.col("tok")) % avg == 0).cast("long")
-    w = (
-        Window.partitionBy("__did")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    with_cid = tok.select(
-        "__did", "pos", "tok",
-        F.coalesce(F.sum(bnd).over(w), F.lit(0)).alias("cid"),
-    )
-    chunks = (
-        with_cid.groupBy("__did", "cid")
-        .agg(
-            F.concat_ws(
-                "\x1f",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-            ).alias("chunk")
-        )
-        .select("__did", poly_hash64(F.col("chunk")).alias("ckey"))
+    chunks = fan_out(docs).select(
+        F.col(id_col).alias("__did"),
+        F.explode(cdc_keys_kernel(avg)(F.col(text_col))).alias("ckey"),
     )
     cnts = chunks.groupBy("ckey").agg(F.count(F.lit(1)).alias("occ"))
     return (

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -64,7 +66,7 @@ def cosine_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    c = embeddings.select(
+    c = fan_out(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
@@ -161,7 +163,7 @@ def lsh_bucket_topk(
             col, dim, planes, plane_offset=t * planes
         ) + F.lit(t << planes).cast("long")
 
-    c = embeddings.select(
+    c = fan_out(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn(

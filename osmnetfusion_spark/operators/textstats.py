@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import fan_out
+
 POLY_MOD = 1_000_000_007
 POLY_BASE = 31
 # second independent polynomial for the 64-bit combined key: the product
@@ -216,7 +218,7 @@ def vocab_topk(
     deterministic -- and limits driver-side rows to k.
     """
 
-    tok = docs.select(
+    tok = fan_out(docs).select(
         F.col(doc_id).alias("__did"),
         F.explode(tokens_col(F.col(text_col))).alias("token"),
     )
@@ -338,7 +340,7 @@ def bpe_pair_counts(
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("t2"),
     )
     exploded = (
-        docs.select(F.explode(pairs).alias("p"))
+        fan_out(docs).select(F.explode(pairs).alias("p"))
         .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
         .filter((F.col("t1") != "") & (F.col("t2") != ""))
     )
@@ -440,7 +442,7 @@ def bpe_train(
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
-    tok = docs.select(
+    tok = fan_out(docs).select(
         F.filter(F.split(F.col(text_col), delim), lambda t: t != "").alias("toks")
     )
     tok = tok.localCheckpoint()
@@ -497,15 +499,16 @@ def pmi_phrases(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("t1"),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("t2"),
     )
+    src = fan_out(docs)
     pair_cnt = (
-        docs.select(F.explode(pairs).alias("p"))
+        src.select(F.explode(pairs).alias("p"))
         .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
         .groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= min_count)
     )
     uni = (
-        docs.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+        src.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -572,7 +575,7 @@ def bm25_topk(
         return F.size(F.filter(toks, lambda t: t == F.lit(term)))
 
     tf_cols = [_tf(trm).alias(f"__tf_{i}") for i, trm in enumerate(terms)]
-    base = docs.select(
+    base = fan_out(docs).select(
         F.col(doc_id), F.size(toks).cast("double").alias("__dl"), *tf_cols
     )
     stats = base.agg(
@@ -700,7 +703,8 @@ def tfidf_topk(
 
     toks = tokens_col(F.col(text_col))
     tf = (
-        docs.select(F.col(doc_id).alias("__did"), F.explode(toks).alias("term"))
+        fan_out(docs)
+        .select(F.col(doc_id).alias("__did"), F.explode(toks).alias("term"))
         .groupBy("__did", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -804,7 +808,7 @@ def phrase_search(
     if not phrase:
         raise ValueError("phrase_search needs at least one term")
     toks = tokens_col(F.col(text_col))
-    post = docs.select(
+    post = fan_out(docs).select(
         F.col(doc_id).alias("__did"), F.posexplode(toks).alias("pos", "term")
     )
     terms = list(phrase)
