@@ -115,22 +115,28 @@ def mean_py(vals):
     return float(np.mean(xs)) if xs else None
 
 
+def _norm_old_osmid_one(x):
+    if isinstance(x, str) and x.startswith("["):
+        try:
+            x = ast.literal_eval(x)
+        except (ValueError, SyntaxError):
+            pass
+    if isinstance(x, (list, np.ndarray)):
+        return list(x)
+    if _is_missing(x):
+        return []
+    return [x]
+
+
 def norm_old_osmid(series: pd.Series) -> pd.Series:
     """Reference old_osmid prep (p3_functions.py:1584-1585): parse
     "[...]"-strings, wrap scalars into lists, NaN -> []."""
-    def conv(x):
-        if isinstance(x, str) and x.startswith("["):
-            try:
-                x = ast.literal_eval(x)
-            except (ValueError, SyntaxError):
-                pass
-        if isinstance(x, (list, np.ndarray)):
-            return list(x)
-        if _is_missing(x):
-            return []
-        return [x]
+    return series.map(_norm_old_osmid_one)
 
-    return series.map(conv)
+
+def norm_old_osmid_list(vals) -> list:
+    """List twin of :func:`norm_old_osmid` for the array-view fold."""
+    return [_norm_old_osmid_one(x) for x in vals]
 
 
 # ----------------------------------------------------------- mode access
@@ -324,6 +330,189 @@ def parking_py(df: pd.DataFrame) -> tuple[list, list]:
         return [
             a
             for a in _uniq(df[col])
+            if (a not in bad) and (a is not None) and (a == a)
+        ]
+
+    left = vals("parking:lane:left") + vals("parking:lane:both")
+    right = vals("parking:lane:right") + vals("parking:lane:both")
+    return sorted(set(left)), sorted(set(right))
+
+
+# --------------------------------------------- array-view (cv) fold twins
+# The pandas helpers above operate on per-group DataFrames; at 30k+ groups
+# the per-group Series/DataFrame boxing dominated the merge stage (~19 ms
+# per 2-row group, guide §4.2). The `_cv` twins below implement the SAME
+# value semantics over a lightweight column-dict view (`merge._GroupView`)
+# whose .col(name) returns a plain numpy slice. Every pandas construct is
+# mirrored explicitly:
+# - Series.isin(vals)        -> _isin (set membership; NaN never matches)
+# - object-Series ==/!= x    -> numpy elementwise compare (None != '' is
+#                               True in both, NaN != NaN is True in both)
+# - float-Series <= x        -> numpy compare (NaN -> False in both)
+# - Series.max() skipna      -> _nanmax
+# The pandas versions remain for merge_nodes and for tests that pin the
+# truth tables; test_merge_cv_equivalence pins cv == pandas on the same
+# groups.
+
+
+def _isin(arr, values) -> np.ndarray:
+    vs = set(values)
+    return np.fromiter((x in vs for x in arr), dtype=bool, count=len(arr))
+
+
+def _nanmax(arr):
+    xs = [float(a) for a in arr if not _is_missing(a)]
+    return max(xs) if xs else float("nan")
+
+
+def _bike_tag_any_cv(cv) -> bool:
+    for c in BIKE_TAG_COLS:
+        if not cv.has(c):
+            continue
+        for x in _uniq(cv.col(c)):
+            if (x is not None) and (x == x) and str(x) not in ["no", ""]:
+                return True
+    return False
+
+
+def access_walk_cv(cv) -> bool:
+    hw = _uniq(cv.col("highway"))
+    if any(x in WALK_HW_ALL for x in hw):
+        return True
+    if any(x in ["designated", "yes"] for x in _uniq(cv.col("foot"))):
+        return True
+    if any(
+        (x is not None) and (x == x) and x <= 50 for x in _uniq(cv.col("maxspeed"))
+    ):
+        return True
+    if any(
+        x not in ["no", ""]
+        for x in _uniq(cv.col("sidewalk"))
+        if (x is not None) and (x == x)
+    ):
+        return True
+    return False
+
+
+def access_bike_cv(cv) -> bool:
+    hw = _uniq(cv.col("highway"))
+    bic = _uniq(cv.col("bicycle"))
+    access = False
+    if (
+        any(x in BIKE_HW_ALL for x in hw)
+        or any(x in ["yes", "designated"] for x in bic)
+        or _bike_tag_any_cv(cv)
+    ):
+        access = True
+    if all(x == "no" for x in bic):
+        access = False
+    if any(
+        str(x) != "" for x in _uniq(cv.col("cycleway")) if (x is not None) and (x == x)
+    ):
+        access = True
+    return access
+
+
+def access_motorized_cv(cv) -> bool:
+    access = any(x not in NON_MOTORIZED_HW for x in _uniq(cv.col("highway")))
+    ow = cv.col("oneway")
+    if ((ow == True) | (ow == "True")).any():  # noqa: E712 - mirrors isin(["True", True])
+        if cv.has("bike_access") and (cv.col("bike_access") == "bike_only").any():
+            access = False
+    return access
+
+
+def walk_mask_cv(cv) -> np.ndarray:
+    hw_arr = cv.col("highway")
+    hw = _uniq(hw_arr)
+    if any(x in WALK_HW_STRICT for x in hw):
+        return _isin(hw_arr, WALK_HW_STRICT)
+    if any(x == "designated" for x in _uniq(cv.col("foot"))):
+        return _isin(cv.col("foot"), ["designated", "yes"])
+    if any(x in WALK_HW_ALL for x in hw):
+        return _isin(hw_arr, WALK_HW_ALL)
+    ms = cv.col("maxspeed")
+    with np.errstate(invalid="ignore"):
+        ms_ok = ms.astype(float) <= 30
+    return ms_ok | ~_isin(cv.col("sidewalk"), ["no", ""])
+
+
+def bike_mask_cv(cv) -> np.ndarray:
+    hw_arr = cv.col("highway")
+    hw = _uniq(hw_arr)
+    bic = cv.col("bicycle")
+    if any(x in BIKE_HW_STRICT for x in hw) or any(
+        x in ["yes", "designated"] for x in _uniq(bic)
+    ):
+        return _isin(hw_arr, BIKE_HW_STRICT) | (bic == "yes") | (bic == "designated")
+    cond0 = any(x in BIKE_HW_ALL for x in hw)
+    cond3 = any(
+        str(x) != "" for x in _uniq(cv.col("cycleway")) if (x is not None) and (x == x)
+    )
+    if cond0 or _bike_tag_any_cv(cv) or cond3:
+        return _isin(hw_arr, BIKE_HW_ALL) | (cv.col("cycleway") != "")
+    return np.zeros(len(cv), dtype=bool)
+
+
+def motorized_mask_cv(cv) -> np.ndarray:
+    hw_arr = cv.col("highway")
+    if any(x not in NON_MOTORIZED_HW for x in _uniq(hw_arr)):
+        return ~_isin(hw_arr, NON_MOTORIZED_HW)
+    return np.ones(len(cv), dtype=bool)
+
+
+def _get_bike_attr_cv(cv, tag: str, prefix: str) -> list:
+    if not cv.has(tag):
+        return []
+    attr = [
+        x
+        for x in cv.col(tag)
+        if (x not in ["", "pictogram"]) and (x is not None) and (x == x)
+    ]
+    if ("no" in attr) and len(attr) > 1:
+        attr.remove("no")
+    for i, a in enumerate(attr):
+        if isinstance(a, list):
+            attr[i] = sorted(
+                a, key=lambda x: _BIKE_ATTR_RANK.index(x) if x in _BIKE_ATTR_RANK else 0
+            )[-1]
+    return [f"{prefix}{x}" for x in attr]
+
+
+def cycleway_attributes_cv(cv) -> list:
+    attr1 = _get_bike_attr_cv(cv, "cycleway:left:lane", "left_lane_")
+    attr2 = _get_bike_attr_cv(cv, "cycleway:right:lane", "right_lane_")
+    attr3, attr4, attr5 = [], [], []
+    if len(attr1) == 0:
+        attr3 = _get_bike_attr_cv(cv, "cycleway:left", "left_")
+    if len(attr2) == 0:
+        attr4 = _get_bike_attr_cv(cv, "cycleway:right", "right_")
+    if ((len(attr1) == 0) and (len(attr3) == 0)) or (
+        (len(attr2) == 0) and (len(attr4) == 0)
+    ):
+        attr5 = _get_bike_attr_cv(cv, "cycleway", "")
+        attr5 += _get_bike_attr_cv(cv, "cycleway:both", "")
+        if ("no" in attr5) and len(attr5) > 1:
+            attr5.remove("no")
+    flat = []
+    for sub in (attr1, attr2, attr3, attr4, attr5):
+        for a in sub:
+            if isinstance(a, list):
+                flat.extend(a)
+            else:
+                flat.append(a)
+    return sorted(set(flat))
+
+
+def parking_cv(cv) -> tuple[list, list]:
+    bad = ["no", "no_stopping", "fire_lane", ""]
+
+    def vals(col):
+        if not cv.has(col):
+            return []
+        return [
+            a
+            for a in _uniq(cv.col(col))
             if (a not in bad) and (a is not None) and (a == a)
         ]
 

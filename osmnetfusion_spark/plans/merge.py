@@ -117,8 +117,202 @@ _EDGE_STR_COLS = [
 ]
 
 
-def _an_edge(df: pd.DataFrame, main: pd.Series, uv: bool, rev_flag: bool) -> dict | None:
-    """AnEdge fold (p3_functions.py:1542-1601) for one direction."""
+class _GroupView:
+    """Lightweight column view of one uv group: positions into the batch's
+    column-dict of numpy arrays. Replaces the per-group pandas DataFrame
+    boxing that dominated step 11 (~19 ms per 2-row group, ~35 s of the
+    scale-16 pipeline); ``.col`` returns a plain numpy slice the fold
+    helpers iterate exactly like they iterated Series values."""
+
+    __slots__ = ("d", "idx")
+
+    def __init__(self, d: dict, idx: np.ndarray):
+        self.d = d
+        self.idx = idx
+
+    def col(self, c: str) -> np.ndarray:
+        return self.d[c][self.idx]
+
+    def has(self, c: str) -> bool:
+        return c in self.d
+
+    def sub(self, mask: np.ndarray) -> "_GroupView":
+        return _GroupView(self.d, self.idx[mask])
+
+    def __len__(self) -> int:
+        return len(self.idx)
+
+
+def _an_edge_cv(
+    d: dict, gidx: np.ndarray, direction: np.ndarray, main_i: int,
+    uv: bool, rev_flag: bool,
+) -> dict | None:
+    """AnEdge fold (p3_functions.py:1542-1601) for one direction — array-
+    view twin of :func:`_an_edge_pandas` (same values; pinned by
+    tests/test_merge_cv_equivalence.py and the golden/contract suites)."""
+    sub_idx = gidx[direction == rev_flag]
+    if len(sub_idx) == 0:
+        return None
+    g = _GroupView(d, gidx)
+    s = _GroupView(d, sub_idx)
+
+    def mv(c):
+        return d[c][main_i]
+
+    rec: dict = {
+        "g_u": int(mv("new_u")),
+        "g_v": int(mv("new_v")),
+        "g_id": int(mv("osmid")),
+        "g_lit": folds.is_lit_py(g.col("lit")),
+        "g_incline": py_list_str([str(a) for a in s.col("incline") if str(a) in ["up", "down"]]),
+        "g_gradient": folds.mean_py(s.col("gradient")),
+        "g_height_d": folds.mean_py(s.col("height_difference")),
+        "g_severity": folds.mean_py(s.col("severity")),
+        "g_reversed": not uv,
+        "g_crossing": py_list_str(folds.get_param_py(g.col("crossing"))) if g.has("crossing") else None,
+        "g_greenR": folds.mean_py(g.col("green_ratio")),
+        "g_retailR": folds.mean_py(g.col("retail_ratio")),
+        "g_buildR": folds.mean_py(g.col("building_ratio")),
+        "g_geometry": list(mv("geometry")),
+        "g_geo_lin": list(mv("geom_linear")),
+        "g_geo_rea": list(mv("geom_reassigned")),
+        "__main_osmid": int(mv("osmid")),
+    }
+    pl, pr = folds.parking_cv(g)
+    rec["g_parkingL"] = py_list_str(pl)
+    rec["g_parkingR"] = py_list_str(pr)
+    rec["l_id"] = py_list_str(folds.listify_py(s.col("osmid"), as_int=True))
+    old = folds.norm_old_osmid_list(s.col("old_osmid"))
+    rec["l_osmid"] = py_list_str(folds.listify_py(old, as_int=True))
+    rec["l_old_u"] = py_list_str(folds.listify_py(s.col("old_u"), as_int=True))
+    rec["l_old_v"] = py_list_str(folds.listify_py(s.col("old_v"), as_int=True))
+    rec["l_highway"] = py_list_str(folds.listify_py(s.col("highway")))
+    rec["l_hw_rank"] = py_list_str(folds.listify_py(s.col("highway_rank")))
+
+    rec["access_wal"] = folds.access_walk_cv(s)
+    rec["access_bik"] = folds.access_bike_cv(s)
+    rec["access_mot"] = folds.access_motorized_cv(s)
+
+    if rec["access_wal"]:
+        wr = g.sub(folds.walk_mask_cv(g))
+        rec["w_length"] = float(folds._nanmax(wr.col("length"))) if len(wr) else None
+        rec["w_surface"] = py_list_str(folds.listify_py(wr.col("surface")))
+        rec["w_smoothne"] = py_list_str(folds.listify_py(wr.col("smoothness")))
+        rec["w_segregat"] = py_list_str(folds.listify_py(wr.col("segregated")))
+        rec["w_width"] = folds.weighted_vals_py(wr.col("width"), wr.col("length")) if len(wr) else None
+    if rec["access_bik"]:
+        br = g.sub(folds.bike_mask_cv(g))
+        if len(br):
+            rec["b_length"] = float(folds._nanmax(br.col("length")))
+            if br.has("cycleway:surface") and len(folds._uniq(br.col("cycleway:surface"))) > 1:
+                rec["b_surface"] = py_list_str(folds.listify_py(br.col("cycleway:surface")))
+            else:
+                rec["b_surface"] = py_list_str(folds.listify_py(br.col("surface")))
+            rec["b_smoothne"] = py_list_str(folds.listify_py(br.col("smoothness")))
+            if br.has("width_cycle_path"):
+                rec["b_width"] = py_list_str(folds.weighted_vals_py(br.col("width_cycle_path"), br.col("length")))
+            elif br.has("cycleway:width"):
+                rec["b_width"] = py_list_str(folds.listify_py(br.col("cycleway:width")))
+            rec["b_bikeRoad"] = bool((br.col("bicycle_road") == "yes").any())
+            rec["b_oneway"] = bool((br.col("oneway:bicycle") == "yes").any()) if br.has("oneway:bicycle") else False
+            am_on = folds.listify_py(br.col("amenity_on"))
+            rec["b_amntyOn"] = py_list_str(am_on)
+            rec["b_amntyNea"] = py_list_str(folds.listify_py(br.col("amenity_nearby")))
+            rec["b_bikerack"] = any("bicycle_parking" in str(a) for a in am_on)
+            cat_rows = br.sub(br.col("cycleway_category") != br.col("highway"))
+            rec["b_category"] = py_list_str(folds.listify_py(cat_rows.col("cycleway_category")))
+            rec["b_attribut"] = py_list_str(folds.cycleway_attributes_cv(br))
+            rec["b_segregat"] = py_list_str(folds.listify_py(br.col("segregated")))
+    if rec["access_mot"]:
+        mr = g.sub(folds.motorized_mask_cv(g))
+        rec["m_length"] = float(folds._nanmax(mr.col("length"))) if len(mr) else None
+        rec["m_width"] = folds.weighted_vals_py(mr.col("width"), mr.col("length"))
+        rec["m_lanes"] = folds.weighted_vals_py(mr.col("lanes"), mr.col("length"))
+        ow = mr.col("oneway")
+        rec["m_oneway"] = bool(((ow == True) | (ow == "True")).any())  # noqa: E712
+        rec["m_maxspeed"] = folds.weighted_vals_py(mr.col("maxspeed"), mr.col("length"))
+        rec["m_ptStop"] = int(folds._nanmax(mr.col("pt_stop_on"))) if len(mr) else None
+        rec["m_ptRoutes"] = py_list_str(folds.listify_py(mr.col("pt_stop_routes")))
+    return rec
+
+
+def _fold_group_arrays(d: dict, lo: int, hi: int) -> list[dict]:
+    """Greedy per-uv-pair merge (p3_functions.py:700-790) over one
+    contiguous group slice of the batch's column arrays — array-view twin
+    of :func:`_fold_uv_group_pandas` (same greedy order, same values)."""
+    n = hi - lo
+    osmid = d["osmid"][lo:hi]
+    rank = d["highway_rank"][lo:hi].astype(float)
+    # (highway_rank desc, osmid asc) with NaN ranks last: lexsort ascending
+    # on -rank puts NaN last exactly like pandas sort_values(desc)
+    order = np.lexsort((osmid, -rank))
+    gpos = lo + order
+    state = [""] * n
+    arr_nu = d["new_u"][gpos]
+    arr_nv = d["new_v"][gpos]
+    arr_len = d["length"][gpos].astype(float)
+    bearing_src = d["bearing"]
+    recs: list[dict] = []
+    for i in range(n):
+        if state[i] == "r":
+            continue
+        state[i] = "k"
+        ri = int(gpos[i])
+        partners: list[int] | None
+        if n < 2:
+            partners = None
+        else:
+            partners = []
+            l1 = float(arr_len[i])
+            for j in range(n):
+                if j == i or state[j] == "k" or state[j] == "r":
+                    continue
+                if arr_nu[j] == arr_nv[j]:
+                    state[j] = "r"
+                    continue
+                l2 = float(arr_len[j])
+                if (l1 < 1e-7) or (l2 < 1e-7):
+                    partners.append(j)
+                elif max(l1 / max(l2, 1e-300), l2 / max(l1, 1e-300)) < 1.5:
+                    partners.append(j)
+            if not partners:
+                continue  # representative emits no link (:760-761)
+            for j in partners:
+                state[j] = "r"
+        # ---- Link fold (:1476-1540)
+        if partners:
+            gidx = np.concatenate([gpos[partners], gpos[i : i + 1]])
+            b = float(bearing_src[ri])
+            angle_l1 = b if b == b else 0.0
+            bearing_vals = bearing_src[gidx].astype(float)
+        else:
+            gidx = gpos[i : i + 1]
+            seg = np.array([list(c) for c in d["geom_linear"][ri]], dtype=float)
+            angle_l1 = float(np.degrees(np.arctan2(seg[1][1] - seg[0][1], seg[1][0] - seg[0][0])))
+            bearing_vals = np.array([angle_l1])
+        direction = np.zeros(len(gidx), dtype=bool)
+        finite = bearing_vals[~np.isnan(bearing_vals)]
+        bmax = finite.max() if len(finite) else float("nan")
+        bmin = finite.min() if len(finite) else float("nan")
+        if not ((bmax - bmin) < 90):
+            a = (angle_l1 - 90) if (angle_l1 - 90) > -180 else angle_l1 + 270
+            b2 = (angle_l1 + 90) if (angle_l1 + 90) < 180 else angle_l1 - 270
+            lower, upper = min(a, b2), max(a, b2)
+            with np.errstate(invalid="ignore"):
+                direction[(bearing_vals < upper) & (bearing_vals > lower)] = True
+        main_dir = bool(direction[-1])  # mainRow is the last row
+        rec_uv = _an_edge_cv(d, gidx, direction, ri, True, main_dir)
+        rec_vu = _an_edge_cv(d, gidx, direction, ri, False, not main_dir)
+        for rec in (rec_uv, rec_vu):
+            if rec is not None:
+                recs.append(rec)
+    return recs
+
+
+def _an_edge_pandas(df: pd.DataFrame, main: pd.Series, uv: bool, rev_flag: bool) -> dict | None:
+    """AnEdge fold (p3_functions.py:1542-1601) for one direction — the
+    original pandas implementation, kept as the reference twin for
+    tests/test_merge_cv_equivalence.py (prod path is `_an_edge_cv`)."""
     subset = df[df.direction == rev_flag]
     if len(subset) == 0:
         return None
@@ -198,8 +392,11 @@ def _an_edge(df: pd.DataFrame, main: pd.Series, uv: bool, rev_flag: bool) -> dic
     return rec
 
 
-def _fold_uv_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Greedy per-uv-pair merge (p3_functions.py:700-790), group-local."""
+def _fold_uv_group_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy per-uv-pair merge (p3_functions.py:700-790), group-local —
+    original pandas implementation, kept as the reference twin for
+    tests/test_merge_cv_equivalence.py (prod path is `_fold_group_arrays`
+    via `_run_uv_batches`)."""
     pdf = pdf.sort_values(["highway_rank", "osmid"], ascending=[False, True]).reset_index(drop=True)
     # '' -> null normalization (Link init :1503) happens ONCE in the JVM
     # (merge_edges nullifs every string column before the shuffle) -- doing
@@ -257,8 +454,8 @@ def _fold_uv_group(pdf: pd.DataFrame) -> pd.DataFrame:
             lower, upper = min(a, b), max(a, b)
             df.loc[(df.bearing < upper) & (df.bearing > lower), "direction"] = True
         main_dir = bool(df["direction"].iloc[-1])  # mainRow is the last row
-        rec_uv = _an_edge(df, row, uv=True, rev_flag=main_dir)
-        rec_vu = _an_edge(df, row, uv=False, rev_flag=(not main_dir))
+        rec_uv = _an_edge_pandas(df, row, uv=True, rev_flag=main_dir)
+        rec_vu = _an_edge_pandas(df, row, uv=False, rev_flag=(not main_dir))
         for rec in (rec_uv, rec_vu):
             if rec is not None:
                 recs.append(rec)
@@ -268,6 +465,61 @@ def _fold_uv_group(pdf: pd.DataFrame) -> pd.DataFrame:
         if c not in out.columns:
             out[c] = None
     return out[cols] if len(out) else pd.DataFrame(columns=cols)
+
+
+def _run_uv_batches(it):
+    """mapInPandas runner for step 11: same carry protocol as
+    grouped_map_batched (groups are contiguous after the repartition+sort;
+    the final, possibly incomplete group of each batch carries over), but
+    each batch converts to a column-dict of numpy arrays ONCE and the
+    groups are processed as array slices. Per-group OUTPUT construction is
+    byte-identical to the old fold (pd.DataFrame(recs) -> missing schema
+    cols as None -> concat per batch), so dtype/null semantics through the
+    Arrow boundary are unchanged."""
+    import warnings
+
+    cols = [f.split(" ")[0].strip("`") for f in EDGE_OUT_SCHEMA.split(", ")]
+
+    def fold_body(body: pd.DataFrame):
+        d = {c: body[c].to_numpy() for c in body.columns}
+        ku, kv = d["__ku"], d["__kv"]
+        n = len(body)
+        bounds = np.flatnonzero((ku[1:] != ku[:-1]) | (kv[1:] != kv[:-1])) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [n]])
+        frames = []
+        for lo, hi in zip(starts, ends):
+            recs = _fold_group_arrays(d, int(lo), int(hi))
+            if recs:
+                out = pd.DataFrame(recs)
+                for c in cols:
+                    if c not in out.columns:
+                        out[c] = None
+                frames.append(out[cols])
+        if len(frames) == 1:
+            yield frames[0]
+        elif frames:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", FutureWarning)
+                yield pd.concat(frames, ignore_index=True)
+
+    carry: pd.DataFrame | None = None
+    for pdf in it:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if not len(pdf):
+            continue
+        ku = pdf["__ku"].to_numpy()
+        kv = pdf["__kv"].to_numpy()
+        tail_mask = (ku == ku[-1]) & (kv == kv[-1])
+        first_tail = int(tail_mask.argmax()) if tail_mask.any() else len(pdf)
+        carry = pdf.iloc[first_tail:]
+        body = pdf.iloc[:first_tail]
+        if len(body):
+            yield from fold_body(body)
+    if carry is not None and len(carry):
+        yield from fold_body(carry.reset_index(drop=True))
 
 
 def merge_edges(edges: DataFrame) -> DataFrame:
@@ -306,11 +558,12 @@ def merge_edges(edges: DataFrame) -> DataFrame:
             if f.dataType.simpleString() == "string"
         }
     )
-    from ..operators.groupedmap import grouped_map_batched
-
-    return grouped_map_batched(
-        prepped, ["__ku", "__kv"], _fold_uv_group, EDGE_OUT_SCHEMA
+    spark = prepped.sparkSession
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rp = prepped.repartition(num_partitions, "__ku", "__kv").sortWithinPartitions(
+        "__ku", "__kv"
     )
+    return rp.mapInPandas(_run_uv_batches, schema=EDGE_OUT_SCHEMA)
 
 
 # --------------------------------------------------------------- steps 12/13
