@@ -2767,8 +2767,12 @@ def q_signal_snap(spark, sf_dir):
     nodes = supplier_segments(spark, sf_dir).select(
         F.col("edge_id").alias("node_id"), F.col("ay").alias("lat"), F.col("ax").alias("lon")
     )
-    snapped = spatial.knn_join_points(
-        sig, nodes, radius_m=250.0, k=1,
+    # escalating-radius cascade: identical to a single 250 m pass (any
+    # match within a smaller radius IS the 250 m nearest), but the fine
+    # first rings keep the cell join from degenerating into a cross
+    # product on this dense region (4.1e8 -> ~4e6 candidate pairs)
+    snapped = spatial.knn_join_points_adaptive(
+        sig, nodes, radii=(30.0, 60.0, 250.0),
         probe_id="sig_id", build_id="node_id",
     )
     return (
@@ -2880,7 +2884,18 @@ def q_pbf_roundtrip(spark, sf_dir):
              "data": [pbf.encode_blob(nodes, ways)]}
         )
 
-    blobs = grouped.groupBy("blob_id").applyInPandas(build, "blob_id long, data binary")
+    # explicit hash repartition: the groupBy's own 3 MB shuffle gets
+    # AQE-coalesced to ONE partition, serializing all 2,000 blob encodes
+    # on a single core; a pinned repartition on the group key is reused
+    # by the groupBy (no extra exchange) and keeps the encode parallel.
+    # The blobs feed TWO parse consumers -- lazily checkpoint so the
+    # encode runs once, not per consumer.
+    blobs = (
+        grouped.repartition(spark.sparkContext.defaultParallelism, "blob_id")
+        .groupBy("blob_id")
+        .applyInPandas(build, "blob_id long, data binary")
+        .localCheckpoint(eager=False)
+    )
     nodes = pbf.parse_nodes(blobs)
     ways = pbf.parse_ways(blobs).select(
         F.col("way_id").alias("node_id"),
@@ -2954,7 +2969,15 @@ def q_pbf_relations(spark, sf_dir):
              "data": [pbf.encode_blob(nodes, ways, rels)]}
         )
 
-    blobs = grouped.groupBy("blob_id").applyInPandas(build, "blob_id long, data binary")
+    # see q_pbf_roundtrip: pinned repartition keeps the encode parallel
+    # under AQE coalescing, and the checkpoint runs it once for the
+    # THREE parse consumers below instead of three times.
+    blobs = (
+        grouped.repartition(spark.sparkContext.defaultParallelism, "blob_id")
+        .groupBy("blob_id")
+        .applyInPandas(build, "blob_id long, data binary")
+        .localCheckpoint(eager=False)
+    )
     stops = pbf.pt_stops_from_relations(
         pbf.parse_relations(blobs), pbf.parse_nodes(blobs), pbf.parse_ways(blobs)
     )
@@ -3105,17 +3128,20 @@ def q_corpus_curation(spark, sf_dir):
     min doc id per identical text) -> per-language corpus stats. Quality
     gates use INTEGER cross-multiplied forms (stop_hits*20 >= n_tokens,
     punct*5 <= n_chars) so no float boundary exists anywhere."""
+    from .operators._fasthash import lang_stats_kernel
+
     d = _t(spark, sf_dir, "documents")
-    toks = textstats.tokens_col(F.col("text"))
-    all_stop = F.array(
-        *[F.lit(w) for lg in textstats.LANGS for w in textstats.STOPWORDS[lg]]
-    )
+    # lang_pred / n_tokens / stop_hits via one Arrow kernel pass (the
+    # Catalyst lang_id + stop-hit HOFs are interpreted per token per
+    # language -- measured the dominant cost of this query); punct and
+    # n_chars stay JVM regex. Values identical (integer counts + the same
+    # argmax/tie rule), oracle-pinned.
+    st = lang_stats_kernel()(F.col("text"))
     scored = fan_out(d).select(
         "doc_id", "text",
-        textstats.lang_id(F.col("text")).alias("lang_pred"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.filter(toks, lambda t: F.array_contains(all_stop, t)))
-        .cast("long").alias("stop_hits"),
+        st["lang_pred"].alias("lang_pred"),
+        st["n_tokens"].alias("n_tokens"),
+        st["stop_hits"].alias("stop_hits"),
         F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9\s]", ""))
         .cast("long").alias("punct"),
         F.length("text").cast("long").alias("n_chars"),

@@ -222,3 +222,49 @@ def cdc_keys_kernel(avg: int):
         return pd.Series([cdc_keys_np(t, avg) for t in texts])
 
     return kernel
+
+
+def lang_stats_kernel():
+    """(lang_pred, n_tokens, stop_hits) per text -- exact twins of
+    textstats.lang_id (argmax stopword hits, lexicographically-first
+    language on ties, 'und' on zero) and the corpus-curation stop-hit
+    count over the union stopword list (repeats counted). The Catalyst
+    versions evaluate an interpreted filter+array_contains per token per
+    language; this kernel counts per-token dict hits in one pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .textstats import LANGS, STOPWORDS
+
+    lang_of = {}
+    for lg in LANGS:
+        for w in STOPWORDS[lg]:
+            lang_of.setdefault(w, []).append(lg)
+    all_stop = {w for ws in STOPWORDS.values() for w in ws}
+
+    @pandas_udf("struct<lang_pred: string, n_tokens: bigint, stop_hits: bigint>")
+    def kernel(texts: pd.Series) -> pd.DataFrame:
+        preds, ntoks, hits = [], [], []
+        for t in texts:
+            toks = tokens(t)
+            scores = dict.fromkeys(LANGS, 0)
+            sh = 0
+            for tok in toks:
+                langs = lang_of.get(tok)
+                if langs is not None:
+                    for lg in langs:
+                        scores[lg] += 1
+                if tok in all_stop:
+                    sh += 1
+            best = max(scores.values())
+            pred = "und"
+            if best > 0:
+                for lg in LANGS:  # first language wins ties
+                    if scores[lg] == best:
+                        pred = lg
+                        break
+            preds.append(pred)
+            ntoks.append(len(toks))
+            hits.append(sh)
+        return pd.DataFrame({"lang_pred": preds, "n_tokens": ntoks, "stop_hits": hits})
+
+    return kernel

@@ -121,7 +121,9 @@ def ccnet_buckets(
     scored = lm_score(docs, alpha=alpha, text_col=text_col, doc_id=id_col)
     with_lang = scored.join(
         docs.select(F.col(id_col), F.col(lang_col)), id_col
-    )
+    # consumed twice (threshold derivation + final bucket join): lazily
+    # checkpoint so the lm_score DAG executes once, not twice
+    ).localCheckpoint(eager=False)
     thr = grouped_quantiles(
         with_lang, [lang_col], "nll", [1.0 / 3.0, 2.0 / 3.0], ["q33", "q66"]
     ).select(lang_col, "q33", "q66")

@@ -24,13 +24,31 @@ from pyspark.sql import DataFrame
 
 def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     """Round-robin repartition up to ``defaultParallelism * multiple``
-    when (and only when) the current plan has fewer partitions."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism * multiple
+    when the plan reads a small file scan.
+
+    Detection reads only file metadata (``df.inputFiles`` + local file
+    sizes) -- NEVER ``df.rdd.getNumPartitions()``, which under AQE
+    finalizes the adaptive plan and silently re-executes the subplan
+    (the spatial.fan_out_probe lesson). Non-file sources and scans big
+    enough for the file splitter to parallelize pass through untouched,
+    so this is a no-op at production scale.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * multiple
     try:
-        cur = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - planning failure falls through
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - non-analyzable plan
         return df
-    if cur < target:
-        return df.repartition(target)
-    return df
+    if not files or len(files) >= target:
+        return df
+    import os as _os
+
+    total = 0
+    for f in files[:64]:
+        try:
+            total += _os.path.getsize(f[7:] if f.startswith("file:") else f)
+        except OSError:
+            return df
+    if total > (128 << 20):
+        return df  # big scan: the file splitter already parallelizes it
+    return df.repartition(target)

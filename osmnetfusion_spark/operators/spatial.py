@@ -455,6 +455,46 @@ def knn_join_segments_adaptive(
     return out
 
 
+def knn_join_points_adaptive(
+    probe: DataFrame,
+    build: DataFrame,
+    radii: tuple[float, ...] = (30.0, 250.0),
+    probe_id: str = "probe_id",
+    build_id: str = "build_id",
+    probe_lat: str = "lat",
+    probe_lon: str = "lon",
+    build_lat: str = "lat",
+    build_lon: str = "lon",
+) -> DataFrame:
+    """Escalating-radius kNN(1) point snap (the point twin of
+    :func:`knn_join_segments_adaptive`).
+
+    A single pass at a large radius forces coarse cells; when the whole
+    region spans only a handful of them the cell join degenerates to a
+    cross product (measured: the 50k x 10k signal snap produced 4.1e8
+    candidate pairs in 9 cells). Snapping at the finest radius first
+    keeps the per-cell candidate product tiny, and only unmatched points
+    escalate. Identical to the single-pass result: a match within radius
+    r_i is by definition the global nearest within any r_j > r_i, and
+    the (dist, id) tie-break is the same at every level.
+    """
+    remaining = probe
+    outs = []
+    for r in radii:
+        matched = knn_join_points(
+            remaining, build, radius_m=r, k=1,
+            probe_id=probe_id, build_id=build_id,
+            probe_lat=probe_lat, probe_lon=probe_lon,
+            build_lat=build_lat, build_lon=build_lon,
+        ).localCheckpoint()
+        outs.append(matched)
+        remaining = remaining.join(matched.select(probe_id), probe_id, "left_anti")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def knn_join_points(
     probe: DataFrame,
     build: DataFrame,
@@ -490,6 +530,35 @@ def knn_join_points(
     cand = cand.filter(F.col("dist_m") <= F.lit(float(radius_m)))
     if exclude_same_id:
         cand = cand.filter(F.col(probe_id) != F.col("__bid"))
+    probe_cols = [c for c in probe.columns]
+    if k == 1:
+        # kNN(1) = lexicographic struct-min on (dist, build_id) -- a
+        # map-side-combinable aggregate that collapses every cell's
+        # candidate product to one row per probe BEFORE the shuffle,
+        # replacing the row_number window (shuffle + per-probe sort over
+        # all in-radius candidates; measured 17 s -> ~2 s on the 50k x 10k
+        # signal snap). Tie-break identical to the window's
+        # (dist asc, build_id asc); probe columns are constant per group
+        # and ride the fold. Guide §2.3 "aggregate before you shuffle".
+        extra = [c for c in probe_cols if c != probe_id]
+        best = cand.groupBy(probe_id).agg(
+            F.min(
+                F.struct(
+                    F.col("dist_m").alias("d"),
+                    F.col("__bid").alias("b"),
+                    *[F.col(c).alias(f"c_{c}") for c in extra],
+                )
+            ).alias("__best")
+        )
+        return best.select(
+            *[
+                F.col(f"__best.c_{c}").alias(c) if c != probe_id else F.col(probe_id)
+                for c in probe_cols
+            ],
+            F.col("__best.b").alias(build_id),
+            F.col("__best.d").alias("dist_m"),
+            F.lit(1).alias("knn_rank"),
+        )
     w = Window.partitionBy(probe_id).orderBy(F.col("dist_m").asc(), F.col("__bid").asc())
     out = cand.withColumn("knn_rank", F.row_number().over(w)).filter(F.col("knn_rank") <= k)
     return out.withColumnRenamed("__bid", build_id).drop("__blat", "__blon", "cell")

@@ -646,13 +646,13 @@ def lm_score(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("t1"),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("t2"),
     )
-    big = docs.select(F.col(doc_id).alias("__did"), F.explode(pairs).alias("p")).select(
-        "__did", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2")
-    )
+    big = fan_out(docs).select(
+        F.col(doc_id).alias("__did"), F.explode(pairs).alias("p")
+    ).select("__did", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
     pair_cnt = big.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("pair_cnt"))
     ctx_cnt = big.groupBy("t1").agg(F.count(F.lit(1)).alias("ctx_cnt"))
     vocab = (
-        docs.select(F.explode(toks).alias("token"))
+        fan_out(docs).select(F.explode(toks).alias("token"))
         .agg(F.countDistinct("token").cast("double").alias("__v"))
     )
     nll_term = -F.log(
