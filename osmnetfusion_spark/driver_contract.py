@@ -1255,18 +1255,20 @@ def q_minhash_bands(spark, sf_dir):
     Shingle hashes come from the Arrow-batched kernel (the column-expr
     version's nested HOFs are interpreted, measured 14 s for 5,000 docs);
     the eight affine re-hash minima then read the array column."""
+    from .operators._fasthash import minhash_kernel
+
     d = _t(spark, sf_dir, "documents")
-    base = fan_out(d).select(
-        "doc_id", dedup.shingle_hashes_fast(3)(F.col("text")).alias("__sh")
-    ).filter(F.size("__sh") > 0)
-
-    def mh(i: int):
-        a, b = dedup.MINHASH_A[i], dedup.MINHASH_B[i]
-        return F.array_min(
-            F.transform(F.col("__sh"), lambda h: (F.lit(a) * h + F.lit(b)) % dedup.POLY_MOD)
-        ).alias(f"mh_{i}")
-
-    return base.select("doc_id", *[mh(i) for i in range(8)]).orderBy("doc_id")
+    # r6: shingles AND the eight affine minima in one numpy kernel pass
+    # (the per-element transform/array_min pairs are interpreted -- 8 x
+    # |shingles| ops per row); nulls mark empty shingle sets, filtered
+    # exactly like the old size(__sh) > 0 gate. Values oracle-pinned.
+    mh = minhash_kernel(3, 8, dedup.MINHASH_A, dedup.MINHASH_B, dedup.POLY_MOD)
+    base = fan_out(d).select("doc_id", mh(F.col("text")).alias("__mh"))
+    return (
+        base.filter(F.col("__mh.mh_0").isNotNull())
+        .select("doc_id", *[F.col(f"__mh.mh_{i}").alias(f"mh_{i}") for i in range(8)])
+        .orderBy("doc_id")
+    )
 
 
 _sh = dedup.shingle_hashes_sql("text", 3)

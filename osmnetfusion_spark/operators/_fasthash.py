@@ -268,3 +268,31 @@ def lang_stats_kernel():
         return pd.DataFrame({"lang_pred": preds, "n_tokens": ntoks, "stop_hits": hits})
 
     return kernel
+
+
+def minhash_kernel(n: int, num_hashes: int, a: list[int], b: list[int], mod: int):
+    """MinHash signature kernel: shingles (shingles_np) -> per-family
+    affine re-hash minima, all uint64 vector ops (a*h < 2^37, +b < 2^38 --
+    exact). Same values as array_min(transform(sh, (a*h+b) % mod));
+    empty shingle sets yield nulls (callers filter)."""
+    from pyspark.sql.functions import pandas_udf
+
+    schema = ", ".join(f"mh_{i}: bigint" for i in range(num_hashes))
+    aa = [np.uint64(x) for x in a[:num_hashes]]
+    bb = [np.uint64(x) for x in b[:num_hashes]]
+    m = np.uint64(mod)
+
+    @pandas_udf(f"struct<{schema}>")
+    def kernel(texts: pd.Series) -> pd.DataFrame:
+        cols: list[list] = [[] for _ in range(num_hashes)]
+        for t in texts:
+            sh = shingles_np(t, n).astype(np.uint64)
+            if len(sh) == 0:
+                for c in cols:
+                    c.append(None)
+                continue
+            for i in range(num_hashes):
+                cols[i].append(int(((sh * aa[i] + bb[i]) % m).min()))
+        return pd.DataFrame({f"mh_{i}": pd.array(cols[i], dtype="Int64") for i in range(num_hashes)})
+
+    return kernel

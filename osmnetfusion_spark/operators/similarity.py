@@ -454,8 +454,10 @@ def ivf_topk(
         )
 
     # corpus: first-max over centroids (cids ascending => smallest cid tie)
+    # fan_out: the |codebook| x dim interpreted cosine fold per row is the
+    # whole cost of assignment -- a single-partition scan serializes it
     corpus = with_cos(
-        embeddings.select(F.col(id_col).alias("neighbor_id"), cv.alias("cv"))
+        fan_out(embeddings).select(F.col(id_col).alias("neighbor_id"), cv.alias("cv"))
     ).select(
         "neighbor_id",
         "cv",

@@ -364,22 +364,33 @@ def bpe_pair_counts(
 BPE_SEP = "\x1e"
 
 
-def _bpe_pair_counts_from_tokens(tok_df: DataFrame, tok_col: str = "toks") -> DataFrame:
+def _bpe_pair_counts_from_tokens(
+    tok_df: DataFrame, tok_col: str = "toks", weight_col: str | None = None
+) -> DataFrame:
     """Adjacent-pair counts over token ARRAYS -- the per-round counting
     kernel of :func:`bpe_train` (same plan shape as
     :func:`bpe_pair_counts`: narrow explode, map-side-combinable hash
-    groupBy)."""
+    groupBy). With ``weight_col`` each array's pairs count ``weight``
+    times -- the word-type aggregation (VERDICT r5 #2): identical totals
+    to replicating the array, with shuffle volume O(|distinct arrays|)."""
     toks = F.col(tok_col)
     n = F.size(toks)
     pairs = F.arrays_zip(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("t1"),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("t2"),
     )
+    if weight_col is None:
+        return (
+            tok_df.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+            .groupBy("t1", "t2")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
     return (
-        tok_df.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        tok_df.select(F.col(weight_col).alias("__w"), F.explode(pairs).alias("p"))
+        .select("__w", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
         .groupBy("t1", "t2")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__w").alias("cnt"))
     )
 
 
@@ -442,14 +453,29 @@ def bpe_train(
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
-    tok = fan_out(docs).select(
-        F.filter(F.split(F.col(text_col), delim), lambda t: t != "").alias("toks")
+    # Word-type aggregation (VERDICT r5 #2, the Sennrich trainer shape):
+    # reduce the corpus ONCE to distinct token arrays with counts, run
+    # every merge round over the type table (pair counts weighted by the
+    # type count -- identical totals, identical argmax), and re-expand
+    # at the end. Per-round shuffle volume is O(|distinct arrays|), not
+    # O(corpus): a real 30-50k-merge vocabulary no longer re-scans the
+    # full corpus once per round. Types are re-aggregated after each
+    # merge (arrays can converge), keeping the table minimal.
+    types = (
+        fan_out(docs)
+        .select(
+            F.filter(F.split(F.col(text_col), delim), lambda t: t != "").alias(
+                "toks"
+            )
+        )
+        .groupBy("toks")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .localCheckpoint()
     )
-    tok = tok.localCheckpoint()
     merges = []
     for rnd in range(n_merges):
         top = (
-            _bpe_pair_counts_from_tokens(tok)
+            _bpe_pair_counts_from_tokens(types, weight_col="__w")
             .filter(F.col("cnt") >= min_count)
             .orderBy(F.col("cnt").desc(), F.col("t1").asc(), F.col("t2").asc())
             .limit(1)
@@ -459,13 +485,22 @@ def bpe_train(
             break
         left, right, cnt = top[0].t1, top[0].t2, top[0].cnt
         merges.append((rnd, left, right, int(cnt)))
-        tok = tok.select(
-            apply_bpe_merge(F.col("toks"), left, right).alias("toks")
-        ).localCheckpoint()
+        types = (
+            types.select(
+                apply_bpe_merge(F.col("toks"), left, right).alias("toks"), "__w"
+            )
+            .groupBy("toks")
+            .agg(F.sum("__w").alias("__w"))
+            .localCheckpoint()
+        )
     spark = docs.sparkSession
     merges_df = spark.createDataFrame(
         merges or [], "round int, left string, right string, cnt bigint"
     )
+    # re-expand type rows to the original per-document multiset
+    tok = types.select(
+        "toks", F.explode(F.sequence(F.lit(1), F.col("__w"))).alias("__i")
+    ).select("toks")
     return merges_df, tok
 
 
@@ -763,20 +798,26 @@ def bpe_encode(
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"
         )
-    tok = docs.select(
+    tok = fan_out(docs).select(
         F.col(doc_id),
         F.filter(F.split(F.col(text_col), delim), lambda t: t != "").alias(
-            "toks"
+            "__toks0"
         ),
     )
+    # Word-type aggregation (VERDICT r5 #2): encode each DISTINCT token
+    # array once and join back by the array -- k merges cost
+    # O(k x |distinct arrays|) instead of O(k x corpus); the join is one
+    # equi-join on the array key (encoding is a pure function of the
+    # array, so per-doc values are unchanged).
+    types = tok.select("__toks0").distinct().withColumn("toks", F.col("__toks0"))
     for i, (left, right) in enumerate(merges):
-        tok = tok.select(
-            F.col(doc_id),
+        types = types.select(
+            "__toks0",
             apply_bpe_merge(F.col("toks"), left, right).alias("toks"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
-            tok = tok.localCheckpoint()
-    return tok.select(
+            types = types.localCheckpoint()
+    return tok.join(types, "__toks0").select(
         F.col(doc_id), "toks", F.size("toks").cast("int").alias("n_tokens")
     )
 

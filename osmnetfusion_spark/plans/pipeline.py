@@ -103,7 +103,11 @@ def _stager(snap, prefix: str, keep: frozenset | None = None):
             return fn()
         if snap is not None:
             return snap.stage(f"{prefix}{name}", fn, key)
-        return fn().localCheckpoint()
+        # lazy: the boundary still materializes exactly once (first
+        # consumer action) and truncates lineage, but skips the
+        # standalone materialization job per stage -- the scale-4
+        # flagship is scheduling-overhead-bound across ~12 barriers
+        return fn().localCheckpoint(eager=False)
 
     return bound
 

@@ -329,7 +329,7 @@ def connected_components(
     jobs per round x O(log n) rounds for a constant ~5 jobs; the min-id
     labeling is order-independent, so N-core and 4N-core runs agree.
     """
-    pairs = pairs.localCheckpoint()
+    pairs = pairs.localCheckpoint(eager=False)
     rmax = max(HIGHWAY_BUFFERS.values())
     res = h3idx.pick_res(2 * rmax)
     blk = F.lit((res - block_steps) * h3idx.SHIFT_RES)  # reuse layout, coarser grid
@@ -352,7 +352,9 @@ def connected_components(
     local = (
         intra.groupBy("block")
         .applyInPandas(local_uf, "osmid long, label long")
-        .localCheckpoint()
+        # lazy: materializes inside the first consumer job instead of a
+        # standalone job -- at city scale the stage is overhead-bound
+        .localCheckpoint(eager=False)
     )
     # contract: map cross-pair endpoints through their local labels
     la = local.select(F.col("osmid").alias("ia"), F.col("label").alias("__la"))
@@ -366,7 +368,7 @@ def connected_components(
         )
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_cross = contracted.count()
     if n_cross == 0:
