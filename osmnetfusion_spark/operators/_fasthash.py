@@ -245,6 +245,13 @@ def lang_stats_kernel():
     def kernel(texts: pd.Series) -> pd.DataFrame:
         preds, ntoks, hits = [], [], []
         for t in texts:
+            if t is None:
+                # column twin: size/filter of a NULL token array are NULL
+                # while lang_id(null) falls through to 'und'
+                preds.append("und")
+                ntoks.append(None)
+                hits.append(None)
+                continue
             toks = tokens(t)
             scores = dict.fromkeys(LANGS, 0)
             sh = 0
@@ -265,7 +272,7 @@ def lang_stats_kernel():
             preds.append(pred)
             ntoks.append(len(toks))
             hits.append(sh)
-        return pd.DataFrame({"lang_pred": preds, "n_tokens": ntoks, "stop_hits": hits})
+        return pd.DataFrame({"lang_pred": preds, "n_tokens": pd.array(ntoks, dtype="Int64"), "stop_hits": pd.array(hits, dtype="Int64")})
 
     return kernel
 
