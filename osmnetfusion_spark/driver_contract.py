@@ -2774,7 +2774,7 @@ def q_signal_snap(spark, sf_dir):
     # first rings keep the cell join from degenerating into a cross
     # product on this dense region (4.1e8 -> ~4e6 candidate pairs)
     snapped = spatial.knn_join_points_adaptive(
-        sig, nodes, radii=(30.0, 60.0, 250.0),
+        sig, nodes, radii=(60.0, 250.0),
         probe_id="sig_id", build_id="node_id",
     )
     return (

@@ -401,12 +401,34 @@ def connected_components(
     return out.select("osmid", comp.alias("component"))
 
 
-def _cc_iterative(pairs: DataFrame, spark: SparkSession, max_iters: int = 25) -> DataFrame:
+def _cc_iterative(
+    pairs: DataFrame,
+    spark: SparkSession,
+    max_iters: int = 25,
+    driver_limit: int = 2_000_000,
+) -> DataFrame:
     """Iterative hash-min label propagation + pointer jumping; the scale
     fallback for :func:`connected_components` step 3. Each round does
     (a) label <- min(label, neighbor labels) and (b) one pointer-jump
     label <- label(label), giving O(log diameter) rounds instead of
-    O(diameter); localCheckpoint per round truncates lineage."""
+    O(diameter); localCheckpoint per round truncates lineage.
+
+    Pair sets under ``driver_limit`` solve on the driver with the same
+    deterministic min-id union-find the block CC uses for its contracted
+    graph -- identical labels, and a handful of rounds x ~5 Spark jobs
+    each collapse to one collect (the near-dup graphs of q_dedup_pipeline
+    are tiny relative to the corpus; the distributed loop remains the
+    unbounded fallback)."""
+    pairs = pairs.localCheckpoint(eager=False)
+    n_pairs = pairs.count()
+    if n_pairs <= driver_limit:
+        rows = pairs.collect()
+        lab = _union_find_min([r.a for r in rows], [r.b for r in rows])
+        ids = sorted({int(r.a) for r in rows} | {int(r.b) for r in rows})
+        return spark.createDataFrame(
+            [(i, int(lab.get(i, i))) for i in ids] or [(-1, -1)],
+            "osmid long, component long",
+        ).filter(F.col("osmid") != -1)
     sym = pairs.select(F.col("a").alias("a"), F.col("b").alias("b")).unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
