@@ -104,6 +104,11 @@ def split_curves(edges: DataFrame) -> DataFrame:
     New nodes are derivable from the output: every sub-edge u >= base marks
     a split node at its first coordinate (see :func:`curve_split_nodes`).
     """
+    from ..operators.partitioning import fan_out
+
+    # thin file scans serialize the per-candidate angle scan on one core
+    # (no-op for the pipeline's materialized city tables and at scale)
+    edges = fan_out(edges)
     cols = edges.columns
     schema = edges.schema
 
